@@ -1,0 +1,93 @@
+"""Optimizer construction: per-group Adam + exponential-decay schedules.
+
+Capability parity (SURVEY.md §2b "Train engine"): the reference builds three
+param groups via nerfstudio optimizers config
+(/root/reference/signerf/signerf_config.py:47-60):
+  * proposal_networks: Adam(lr=1e-2, eps=1e-15) + ExponentialDecay to 1e-4
+    over 200_000 steps
+  * fields:            same schedule
+  * camera_opt:        Adam(lr=1e-15) — effectively frozen (:57-60)
+
+Implemented with optax: one `optax.multi_transform` keyed by top-level param
+subtree, so optimizer state checkpoints/restores with the same surgery rules
+as params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import optax
+
+
+@dataclasses.dataclass
+class OptimizerGroupConfig:
+    lr: float = 1e-2
+    eps: float = 1e-15
+    lr_final: Optional[float] = 1e-4
+    max_steps: int = 200_000
+    warmup_steps: int = 0
+
+
+@dataclasses.dataclass
+class OptimizersConfig:
+    """Reference parity: signerf_config.py:47-60."""
+
+    fields: OptimizerGroupConfig = dataclasses.field(
+        default_factory=OptimizerGroupConfig
+    )
+    proposal_networks: OptimizerGroupConfig = dataclasses.field(
+        default_factory=OptimizerGroupConfig
+    )
+    camera_opt: OptimizerGroupConfig = dataclasses.field(
+        default_factory=lambda: OptimizerGroupConfig(lr=1e-15, lr_final=None)
+    )
+
+
+def make_schedule(cfg: OptimizerGroupConfig) -> optax.Schedule:
+    if cfg.lr_final is None:
+        sched: optax.Schedule = optax.constant_schedule(cfg.lr)
+    else:
+        sched = optax.exponential_decay(
+            init_value=cfg.lr,
+            transition_steps=cfg.max_steps,
+            decay_rate=cfg.lr_final / cfg.lr,
+            end_value=cfg.lr_final,
+        )
+    if cfg.warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps)
+        sched = optax.join_schedules([warmup, sched], [cfg.warmup_steps])
+    return sched
+
+
+def _group_of(top_key: str) -> str:
+    if top_key.startswith("proposal"):
+        return "proposal_networks"
+    if top_key == "camera_opt":
+        return "camera_opt"
+    return "fields"
+
+
+def make_optimizer(
+    cfg: OptimizersConfig, params: Dict[str, Any]
+) -> optax.GradientTransformation:
+    """Build the grouped optimizer for a nerfacto-style params dict."""
+    labels = {k: _group_of(k) for k in params.keys()}
+
+    def label_fn(p):
+        import jax
+
+        return {
+            k: jax.tree_util.tree_map(lambda _: labels[k], v)
+            for k, v in p.items()
+        }
+
+    transforms = {
+        name: optax.adam(
+            learning_rate=make_schedule(getattr(cfg, name)),
+            eps=getattr(cfg, name).eps,
+        )
+        for name in ("fields", "proposal_networks", "camera_opt")
+    }
+    return optax.multi_transform(transforms, label_fn)

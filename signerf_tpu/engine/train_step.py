@@ -1,0 +1,229 @@
+"""The jitted/sharded training step: on-device pixel sampling -> ray
+generation -> model forward -> losses -> grads -> optimizer update.
+
+Capability parity (SURVEY.md §3.4 hot loop): replaces the reference's
+`Trainer.train` iteration — mp-queue ray batches (signerf_datamanager.py:148-179),
+nerfacto forward, `SIGNeRFModel.get_loss_dict` (signerf.py:41-82), Adam steps
+with AMP grad scaler (signerf_config.py:23).
+
+TPU-first design:
+  * The *entire* data path lives on device: images sit in HBM as uint8, pixel
+    or patch indices are sampled with the TPU PRNG, rays are generated in-jit.
+    There is no host round-trip and no mp queue at all.
+  * `steps_per_call` chains multiple optimizer steps in one dispatch via
+    `lax.scan`, amortizing host->device latency (critical when the host link
+    is thin — and free speedup anyway).
+  * Multi-chip: `shard_map` over a 1-D "data" mesh; every device samples its
+    own ray sub-batch (PRNG folded by axis index), computes local grads, and
+    `psum` merges — the canonical DP recipe, collectives riding ICI.
+  * bf16 compute happens inside the model; grads/optimizer are fp32, which is
+    the TPU replacement for the reference's CUDA AMP grad scaler (bf16 needs
+    no loss scaling).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from signerf_tpu.cameras.cameras import Cameras
+from signerf_tpu.data.pixel_samplers import (
+    gather_pixels,
+    sample_patches,
+    sample_pixels,
+    sample_pixels_masked,
+)
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar
+
+    @classmethod
+    def create(cls, params, optimizer: optax.GradientTransformation):
+        return cls(
+            params=params,
+            opt_state=optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+
+@dataclasses.dataclass
+class SamplerSettings:
+    """Static sampling knobs (shapes must be compile-time constants)."""
+
+    num_rays: int = 4096
+    patch_size: int = 1  # >1 -> patch sampling (signerf: 32)
+    use_mask: bool = False  # mask present -> plain sampling (reference rule)
+
+
+def _sample_indices(
+    key: jax.Array,
+    settings: SamplerSettings,
+    num_images: int,
+    height: int,
+    width: int,
+    mask_indices: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    # Reference rule (signerf_patch_pixel_sampler.py:53-57): masks force
+    # plain pixel sampling even when patch_size > 1.
+    if settings.use_mask and mask_indices is not None:
+        return sample_pixels_masked(key, settings.num_rays, mask_indices)
+    if settings.patch_size > 1:
+        return sample_patches(
+            key, settings.num_rays, settings.patch_size, num_images, height, width
+        )
+    return sample_pixels(key, settings.num_rays, num_images, height, width)
+
+
+def make_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    cameras: Cameras,
+    settings: SamplerSettings,
+    loss_fn: Optional[Callable] = None,
+    mesh: Optional[Mesh] = None,
+    steps_per_call: int = 1,
+    donate: bool = True,
+):
+    """Build the jitted train function.
+
+    Returns ``fn(state, images_u8, mask_indices, key) -> (state, metrics)``
+    where ``images_u8`` is [N, H, W, 3] uint8 on device and ``metrics`` is a
+    dict of scalars averaged over the inner steps.
+
+    ``loss_fn(model, params, outputs, batch) -> (total, dict)`` defaults to
+    summing ``model.loss_dict``.
+    """
+    num_images = len(cameras)
+    height, width = cameras.height, cameras.width
+
+    if loss_fn is None:
+
+        def loss_fn(mdl, params, outputs, batch):
+            ld = mdl.loss_dict(outputs, batch)
+            return sum(jax.tree_util.tree_leaves(ld)), ld
+
+    def single_step(params, opt_state, step, images_u8, mask_indices, key):
+        k_pix, k_model = jax.random.split(key)
+        idx = _sample_indices(
+            k_pix, settings, num_images, height, width, mask_indices
+        )
+        rb = cameras.generate_rays_at(idx)
+        target = gather_pixels(images_u8, idx).astype(jnp.float32) / 255.0
+        anneal = model.anneal(step)
+
+        def compute_loss(p):
+            outputs = model.apply(p, rb, rng=k_model, train=True, anneal=anneal)
+            total, ld = loss_fn(model, p, outputs, {"image": target, "indices": idx})
+            return total, (ld, outputs)
+
+        (total, (ld, outputs)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(params)
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, "data")
+            total = jax.lax.pmean(total, "data")
+            ld = jax.lax.pmean(ld, "data")
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(ld)
+        metrics["total_loss"] = total
+        mse = jnp.mean((outputs["rgb"] - target) ** 2)
+        if mesh is not None:
+            mse = jax.lax.pmean(mse, "data")
+        metrics["psnr"] = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+        return params, opt_state, metrics
+
+    def multi_step(state: TrainState, images_u8, mask_indices, key):
+        if mesh is not None:
+            # Decorrelate per-device sampling.
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+
+        def body(carry, i):
+            params, opt_state, step = carry
+            k = jax.random.fold_in(key, i)
+            params, opt_state, metrics = single_step(
+                params, opt_state, step, images_u8, mask_indices, k
+            )
+            return (params, opt_state, step + 1), metrics
+
+        (params, opt_state, step), metrics = jax.lax.scan(
+            body,
+            (state.params, state.opt_state, state.step),
+            jnp.arange(steps_per_call),
+        )
+        metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        return TrainState(params=params, opt_state=opt_state, step=step), metrics
+
+    if mesh is None:
+        return jax.jit(multi_step, donate_argnums=(0,) if donate else ())
+
+    # shard_map: params/images replicated, collectives explicit.
+    repl = P()
+    sharded = jax.shard_map(
+        multi_step,
+        mesh=mesh,
+        in_specs=(repl, repl, repl, repl),
+        out_specs=(repl, repl),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_render(
+    model,
+    chunk_size: int = 1 << 15,
+):
+    """Chunked full-image renderer (parity:
+    `get_outputs_for_camera_ray_bundle`, eval_num_rays_per_chunk=1<<15,
+    /root/reference/signerf/signerf_config.py:32, datasetgenerator.py:694).
+
+    Returns ``render(params, ray_bundle_flat) -> outputs`` where the flat
+    bundle is padded to a chunk multiple and processed by `lax.map` over
+    chunks (static shapes, single compile).
+    """
+
+    @functools.partial(jax.jit, static_argnames=("num_rays",))
+    def _render_padded(params, bundle, num_rays: int):
+        def render_chunk(chunk):
+            out = model.apply(params, chunk, train=False)
+            return {
+                "rgb": out["rgb"],
+                "depth": out["depth"],
+                "expected_depth": out["expected_depth"],
+                "accumulation": out["accumulation"],
+            }
+
+        num_chunks = num_rays // chunk_size
+        chunked = jax.tree_util.tree_map(
+            lambda x: x.reshape(num_chunks, chunk_size, *x.shape[1:]), bundle
+        )
+        return jax.lax.map(render_chunk, chunked)
+
+    def render(params, bundle_flat):
+        n = bundle_flat.origins.shape[0]
+        padded_n = ((n + chunk_size - 1) // chunk_size) * chunk_size
+        pad = padded_n - n
+        bundle = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)], 0)
+            if pad
+            else x,
+            bundle_flat,
+        )
+        out = _render_padded(params, bundle, padded_n)
+        out = jax.tree_util.tree_map(
+            lambda x: x.reshape(padded_n, *x.shape[2:])[:n], out
+        )
+        return out
+
+    return render

@@ -1,0 +1,248 @@
+"""Ray samplers: spaced (uniform-lindisp piecewise) and PDF (inverse-CDF),
+plus the two-level proposal-network sampling driver used by nerfacto.
+
+Capability parity (SURVEY.md §2b "Nerfacto model"): the reference gets
+hierarchical proposal sampling from nerfstudio's `ProposalNetworkSampler`
+(consumed via `NerfactoModel`, /root/reference/signerf/signerf.py:12; its
+outputs `weights_list`/`ray_samples_list` feed losses at signerf.py:65-79).
+
+TPU-first notes: every sampler has static sample counts, no data-dependent
+shapes; stratified jitter comes from explicit PRNG keys; `searchsorted` is a
+static-shape XLA op.  Everything is [R, S]-batched so it shards over rays.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from signerf_tpu.cameras.cameras import RayBundle
+from signerf_tpu.models.ray_samples import RaySamples
+
+# ---------------------------------------------------------------------------
+# spacing functions (s-space <-> euclidean t-space)
+# ---------------------------------------------------------------------------
+
+
+def piecewise_fn(x: jnp.ndarray) -> jnp.ndarray:
+    """Uniform-in-t for t<1, linear-in-disparity beyond (mipnerf360 style)."""
+    return jnp.where(x < 1.0, x / 2.0, 1.0 - 1.0 / (2.0 * jnp.maximum(x, 1e-12)))
+
+
+def piecewise_fn_inv(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(x < 0.5, 2.0 * x, 1.0 / jnp.maximum(2.0 - 2.0 * x, 1e-12))
+
+
+def make_spacing(
+    nears: jnp.ndarray, fars: jnp.ndarray
+) -> Tuple[Callable[[jnp.ndarray], jnp.ndarray], Callable[[jnp.ndarray], jnp.ndarray]]:
+    """Return (s_to_t, t_to_s) for per-ray [R, 1] near/far planes."""
+    s_near = piecewise_fn(nears)
+    s_far = piecewise_fn(fars)
+
+    def s_to_t(s: jnp.ndarray) -> jnp.ndarray:
+        return piecewise_fn_inv(s * s_far + (1.0 - s) * s_near)
+
+    def t_to_s(t: jnp.ndarray) -> jnp.ndarray:
+        return (piecewise_fn(t) - s_near) / jnp.maximum(s_far - s_near, 1e-12)
+
+    return s_to_t, t_to_s
+
+
+# ---------------------------------------------------------------------------
+# samplers
+# ---------------------------------------------------------------------------
+
+
+def sample_uniform_bins(
+    rng: Optional[jax.Array],
+    num_rays: int,
+    num_samples: int,
+    single_jitter: bool = True,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Stratified s-space bin edges [R, S+1] in [0, 1]."""
+    edges = jnp.linspace(0.0, 1.0, num_samples + 1, dtype=dtype)  # [S+1]
+    edges = jnp.broadcast_to(edges, (num_rays, num_samples + 1))
+    if rng is None:
+        return edges
+    bin_width = 1.0 / num_samples
+    if single_jitter:
+        jitter = jax.random.uniform(rng, (num_rays, 1), dtype=dtype)
+    else:
+        jitter = jax.random.uniform(rng, (num_rays, num_samples + 1), dtype=dtype)
+    # Jitter edges within a bin, keeping 0 and 1 endpoints monotone-safe.
+    jittered = edges + (jitter - 0.5) * bin_width
+    return jnp.clip(jittered, 0.0, 1.0)
+
+
+def sample_pdf_bins(
+    rng: Optional[jax.Array],
+    spacing_bins: jnp.ndarray,
+    weights: jnp.ndarray,
+    num_samples: int,
+    histogram_padding: float = 0.01,
+    single_jitter: bool = True,
+) -> jnp.ndarray:
+    """Inverse-CDF resampling of s-space bins [R, S+1] given weights [R, S].
+
+    Returns new s-space bin edges [R, num_samples+1].
+    """
+    num_rays = weights.shape[0]
+    weights = weights + histogram_padding
+    # Normalize into a pdf; guard empty rays.
+    weight_sum = jnp.sum(weights, axis=-1, keepdims=True)
+    padding = jnp.maximum(1e-7 - weight_sum, 0.0)
+    weights = weights + padding / weights.shape[-1]
+    weight_sum = weight_sum + padding
+
+    pdf = weights / weight_sum
+    cdf = jnp.concatenate(
+        [jnp.zeros_like(pdf[..., :1]), jnp.cumsum(pdf, axis=-1)], axis=-1
+    )  # [R, S+1]
+    cdf = jnp.minimum(cdf, 1.0)
+
+    s = num_samples + 1
+    if rng is not None:
+        if single_jitter:
+            rand = jax.random.uniform(rng, (num_rays, 1)) / s
+        else:
+            rand = jax.random.uniform(rng, (num_rays, s)) / s
+        u = jnp.linspace(0.0, 1.0 - (1.0 / s), s)[None, :] + rand
+    else:
+        u = jnp.linspace(0.0, 1.0 - (1.0 / s), s)[None, :] + 0.5 / s
+        u = jnp.broadcast_to(u, (num_rays, s))
+
+    # searchsorted per ray: idx of first cdf edge >= u
+    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.clip(idx - 1, 0, cdf.shape[-1] - 1)
+    above = jnp.clip(idx, 0, cdf.shape[-1] - 1)
+
+    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_b = jnp.take_along_axis(spacing_bins, below, axis=-1)
+    bins_a = jnp.take_along_axis(spacing_bins, above, axis=-1)
+
+    denom = jnp.where(cdf_a - cdf_b < 1e-10, 1.0, cdf_a - cdf_b)
+    t = jnp.clip((u - cdf_b) / denom, 0.0, 1.0)
+    new_bins = bins_b + t * (bins_a - bins_b)
+    # Enforce monotonicity (numerical safety for downstream deltas).
+    new_bins = jnp.sort(new_bins, axis=-1)
+    return new_bins
+
+
+def bins_to_ray_samples(
+    ray_bundle: RayBundle,
+    spacing_bins: jnp.ndarray,
+    s_to_t: Callable[[jnp.ndarray], jnp.ndarray],
+) -> RaySamples:
+    """Convert s-space bin edges [R, S+1] into euclidean RaySamples."""
+    euclidean = s_to_t(spacing_bins)  # [R, S+1]
+    cam_idx = (
+        None
+        if ray_bundle.camera_indices is None
+        else ray_bundle.camera_indices[..., 0]
+    )
+    pix = None if ray_bundle.pixel_area is None else ray_bundle.pixel_area[..., 0]
+    return RaySamples(
+        origins=ray_bundle.origins,
+        directions=ray_bundle.directions,
+        starts=euclidean[..., :-1],
+        ends=euclidean[..., 1:],
+        spacing_starts=spacing_bins[..., :-1],
+        spacing_ends=spacing_bins[..., 1:],
+        camera_indices=cam_idx,
+        pixel_area=pix,
+    )
+
+
+def render_weights(densities: jnp.ndarray, deltas: jnp.ndarray) -> jnp.ndarray:
+    """Volumetric rendering weights from densities [R, S] and deltas [R, S]."""
+    delta_density = deltas * densities
+    alphas = 1.0 - jnp.exp(-delta_density)
+    # Exclusive cumprod of transmittance.
+    trans = jnp.exp(
+        -jnp.concatenate(
+            [
+                jnp.zeros_like(delta_density[..., :1]),
+                jnp.cumsum(delta_density[..., :-1], axis=-1),
+            ],
+            axis=-1,
+        )
+    )
+    return alphas * trans
+
+
+# ---------------------------------------------------------------------------
+# proposal-network sampling driver
+# ---------------------------------------------------------------------------
+
+
+def proposal_sample(
+    rng: Optional[jax.Array],
+    ray_bundle: RayBundle,
+    density_fns,  # list of callables positions [R,S,3] -> densities [R,S]
+    num_proposal_samples: Tuple[int, ...] = (256, 96),
+    num_nerf_samples: int = 48,
+    single_jitter: bool = True,
+    anneal: float | jnp.ndarray = 1.0,
+):
+    """Hierarchical proposal sampling (nerfacto semantics).
+
+    Returns (ray_samples, weights_list, ray_samples_list) where the lists hold
+    each proposal level's (annealed) weights and samples for the interlevel
+    loss, in order [prop0, prop1, ..., final-not-included].
+    """
+    num_rays = ray_bundle.origins.shape[0]
+    nears = ray_bundle.nears if ray_bundle.nears is not None else jnp.full(
+        (num_rays, 1), 0.05, ray_bundle.origins.dtype
+    )
+    fars = ray_bundle.fars if ray_bundle.fars is not None else jnp.full(
+        (num_rays, 1), 1000.0, ray_bundle.origins.dtype
+    )
+    s_to_t, _ = make_spacing(nears, fars)
+
+    weights_list = []
+    samples_list = []
+
+    keys = (
+        jax.random.split(rng, len(num_proposal_samples) + 1)
+        if rng is not None
+        else [None] * (len(num_proposal_samples) + 1)
+    )
+
+    bins = sample_uniform_bins(
+        keys[0], num_rays, num_proposal_samples[0], single_jitter
+    )
+    samples = bins_to_ray_samples(ray_bundle, bins, s_to_t)
+
+    for i, density_fn in enumerate(density_fns):
+        densities = density_fn(samples.positions)  # [R, S]
+        weights = render_weights(densities, samples.deltas)
+        # w^anneal with a zero-safe gradient: d/dw w^a -> inf at w=0 for
+        # a<1, which NaNs training once empty-space weights hit exactly 0.
+        # Below the floor the weight (and its gradient) is treated as 0.
+        floor = 1e-7
+        safe_w = jnp.maximum(weights, floor)
+        annealed = jnp.where(
+            weights < floor, 0.0, jnp.power(safe_w, anneal)
+        )
+        weights_list.append(annealed)
+        samples_list.append(samples)
+        n_next = (
+            num_proposal_samples[i + 1]
+            if i + 1 < len(num_proposal_samples)
+            else num_nerf_samples
+        )
+        bins = sample_pdf_bins(
+            keys[i + 1],
+            samples.spacing_bins,
+            jax.lax.stop_gradient(annealed),
+            n_next,
+            single_jitter=single_jitter,
+        )
+        samples = bins_to_ray_samples(ray_bundle, bins, s_to_t)
+
+    return samples, weights_list, samples_list

@@ -1,0 +1,34 @@
+"""Scene contraction (mipnerf360-style, L-inf norm) and normalization.
+
+Capability parity (SURVEY.md §2b): nerfacto wraps its field in
+``SceneContraction(order=inf)`` so unbounded scenes map into [-2, 2]^3; the
+reference consumes it via `NerfactoModel` (/root/reference/signerf/signerf.py:12).
+
+Pure elementwise jnp (VPU work, fuses into the hash-grid position prep).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def contract(positions: jnp.ndarray, order: float = jnp.inf) -> jnp.ndarray:
+    """Map R^3 -> ball of radius 2: x if |x|<=1 else (2 - 1/|x|) * x/|x|."""
+    if order == jnp.inf:
+        mag = jnp.max(jnp.abs(positions), axis=-1, keepdims=True)
+    else:
+        mag = jnp.linalg.norm(positions, ord=order, axis=-1, keepdims=True)
+    mag = jnp.maximum(mag, 1e-12)
+    scaled = (2.0 - 1.0 / mag) * (positions / mag)
+    return jnp.where(mag <= 1.0, positions, scaled)
+
+
+def contract_to_unit(positions: jnp.ndarray, order: float = jnp.inf) -> jnp.ndarray:
+    """Contract and shift into [0, 1]^3 for hash-grid lookup ((x+2)/4)."""
+    return (contract(positions, order) + 2.0) / 4.0
+
+
+def normalize_aabb(positions: jnp.ndarray, aabb: jnp.ndarray) -> jnp.ndarray:
+    """Affine map of an AABB ([2,3]) into [0,1]^3 (proposal fields w/o
+    contraction use this)."""
+    return (positions - aabb[0]) / (aabb[1] - aabb[0])

@@ -1,0 +1,51 @@
+"""Mesh construction and sharding helpers.
+
+TPU-native replacement for the reference's process-split "parallelism"
+(SURVEY.md §2c: NeRF on GPU 1 + SDXL server on GPU 2 over HTTP,
+/root/reference/README.md:275-277): here everything runs in one program over
+a `jax.sharding.Mesh`, with XLA collectives riding ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(
+    num_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a mesh over the first ``num_devices`` devices.
+
+    Default: 1-D data-parallel mesh over all devices. ``shape`` allows
+    multi-axis meshes, e.g. shape=(2, 4), axis_names=("data", "tensor").
+    """
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    if shape is None:
+        shape = (len(devices),)
+    dev_array = np.array(devices).reshape(tuple(shape))
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_along(tree, mesh: Mesh, axis_name: str = "data", dim: int = 0):
+    """Shard every leaf's ``dim`` over ``axis_name`` (leading batch dim)."""
+
+    def put(x):
+        spec = [None] * x.ndim
+        spec[dim] = axis_name
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(put, tree)

@@ -7,7 +7,12 @@ on CPU via device-count override — no real cluster needed).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon sitecustomize registers a TPU-tunnel PJRT backend whenever
+# PALLAS_AXON_POOL_IPS is set, overriding JAX_PLATFORMS=cpu. Tests must run
+# on the local host CPU (fast, 8 virtual devices), so drop it before any jax
+# import.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

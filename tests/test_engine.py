@@ -1,0 +1,197 @@
+"""Engine tests: optimizer groups, train step (single + 8-device mesh),
+checkpoint surgery. SURVEY.md §4(d): multi-chip on CPU via device-count
+override."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from signerf_tpu.cameras.cameras import Cameras
+from signerf_tpu.engine.checkpoints import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+    strip_appearance_and_camera_opt,
+    strip_proposals,
+    surgical_restore,
+)
+from signerf_tpu.engine.optimizers import (
+    OptimizerGroupConfig,
+    OptimizersConfig,
+    make_optimizer,
+    make_schedule,
+)
+from signerf_tpu.engine.train_step import (
+    SamplerSettings,
+    TrainState,
+    make_eval_render,
+    make_train_step,
+)
+from signerf_tpu.models.nerfacto import NerfactoModel
+from signerf_tpu.parallel import get_mesh, replicate
+from tests.test_nerfacto_core import tiny_config
+
+
+def fresh(params):
+    """Deep-copy params so donated train states can't delete fixture arrays."""
+    return jax.tree_util.tree_map(jnp.copy, params)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = NerfactoModel(tiny_config(), num_train_images=2)
+    params = model.init(jax.random.PRNGKey(0))
+    H = W = 16
+    cams = Cameras(
+        camera_to_worlds=jnp.tile(
+            jnp.eye(4)[None, :3, :], (2, 1, 1)
+        ).at[:, 2, 3].set(2.0),
+        fx=jnp.full((2,), 20.0),
+        fy=jnp.full((2,), 20.0),
+        cx=jnp.full((2,), W / 2),
+        cy=jnp.full((2,), H / 2),
+        width=W,
+        height=H,
+    )
+    images = jax.random.randint(
+        jax.random.PRNGKey(1), (2, H, W, 3), 0, 255, jnp.int32
+    ).astype(jnp.uint8)
+    return model, params, cams, images
+
+
+class TestSchedules:
+    def test_exponential_decay_endpoints(self):
+        cfg = OptimizerGroupConfig(lr=1e-2, lr_final=1e-4, max_steps=1000)
+        s = make_schedule(cfg)
+        np.testing.assert_allclose(float(s(0)), 1e-2, rtol=1e-5)
+        np.testing.assert_allclose(float(s(1000)), 1e-4, rtol=1e-3)
+
+    def test_optimizer_group_routing(self, setup):
+        model, params, _, _ = setup
+        opt = make_optimizer(OptimizersConfig(), params)
+        state = opt.init(params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = opt.update(grads, state, params)
+        # fields and proposal get real updates
+        f_leaf = jax.tree_util.tree_leaves(updates["field"])[0]
+        p_leaf = jax.tree_util.tree_leaves(updates["proposal_0"])[0]
+        assert float(jnp.abs(f_leaf).max()) > 1e-6
+        assert float(jnp.abs(p_leaf).max()) > 1e-6
+
+
+class TestTrainStep:
+    def test_single_device_loss_decreases(self, setup):
+        model, params, cams, images = setup
+        opt = make_optimizer(OptimizersConfig(), params)
+        step_fn = make_train_step(
+            model, opt, cams, SamplerSettings(num_rays=64), steps_per_call=4
+        )
+        state = TrainState.create(fresh(params), opt)
+        key = jax.random.PRNGKey(0)
+        state, m0 = step_fn(state, images, None, key)
+        for i in range(5):
+            state, m = step_fn(state, images, None, jax.random.fold_in(key, i))
+        assert int(state.step) == 24
+        assert float(m["total_loss"]) < float(m0["total_loss"])
+        assert bool(jnp.isfinite(m["total_loss"]))
+
+    def test_patch_sampling_step(self, setup):
+        model, params, cams, images = setup
+        opt = make_optimizer(OptimizersConfig(), params)
+        step_fn = make_train_step(
+            model,
+            opt,
+            cams,
+            SamplerSettings(num_rays=64, patch_size=4),
+            steps_per_call=1,
+        )
+        state = TrainState.create(fresh(params), opt)
+        state, m = step_fn(state, images, None, jax.random.PRNGKey(0))
+        assert bool(jnp.isfinite(m["total_loss"]))
+
+    def test_mesh_train_step_matches_metrics_shape(self, setup):
+        model, params, cams, images = setup
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = get_mesh(8)
+        opt = make_optimizer(OptimizersConfig(), params)
+        step_fn = make_train_step(
+            model,
+            opt,
+            cams,
+            SamplerSettings(num_rays=32),
+            mesh=mesh,
+            steps_per_call=2,
+        )
+        state = TrainState.create(fresh(params), opt)
+        state = replicate(state, mesh)
+        images_r = replicate(images, mesh)
+        state, m = step_fn(state, images_r, None, jax.random.PRNGKey(0))
+        assert int(state.step) == 2
+        assert bool(jnp.isfinite(m["total_loss"]))
+        # params stay replicated and identical across devices
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+    def test_eval_render_chunked_padding(self, setup):
+        model, params, cams, _ = setup
+        render = make_eval_render(model, chunk_size=128)
+        rb = cams.generate_rays(0)
+        flat = rb.reshape((cams.height * cams.width,))
+        out = render(params, flat)
+        assert out["rgb"].shape == (256, 3)
+        # non-multiple ray count exercises the padding path
+        sub = jax.tree_util.tree_map(lambda x: x[:100], flat)
+        out2 = render(params, sub)
+        assert out2["rgb"].shape == (100, 3)
+        np.testing.assert_allclose(
+            np.asarray(out2["rgb"]), np.asarray(out["rgb"][:100]), atol=1e-5
+        )
+
+
+class TestCheckpoints:
+    def test_roundtrip(self, setup, tmp_path):
+        model, params, _, _ = setup
+        opt = make_optimizer(OptimizersConfig(), params)
+        opt_state = opt.init(params)
+        save_checkpoint(tmp_path, 42, params, opt_state)
+        path = latest_checkpoint(tmp_path)
+        assert path is not None and "000000042" in path.name
+        template = {
+            "step": jnp.zeros((), jnp.int32),
+            "params": params,
+            "opt_state": opt_state,
+        }
+        restored = load_checkpoint(path, template)
+        assert int(restored["step"]) == 42
+        a = jax.tree_util.tree_leaves(params)[0]
+        b = jax.tree_util.tree_leaves(restored["params"])[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_strip_surgery(self, setup):
+        _, params, _, _ = setup
+        stripped = strip_proposals(params)
+        assert "proposal_0" not in stripped and "field" in stripped
+        s2 = strip_appearance_and_camera_opt(params)
+        assert "appearance" not in s2["field"]
+
+    def test_surgical_restore_drops_proposals(self, setup, tmp_path):
+        model, params, _, _ = setup
+        opt = make_optimizer(OptimizersConfig(), params)
+        save_checkpoint(tmp_path, 7, params, opt.init(params))
+        fresh = model.init(jax.random.PRNGKey(99))
+        restored = surgical_restore(
+            latest_checkpoint(tmp_path), fresh, drop_proposals=True
+        )
+        # proposals come from fresh init, field from checkpoint
+        p_fresh = jax.tree_util.tree_leaves(fresh["proposal_0"])[0]
+        p_rest = jax.tree_util.tree_leaves(restored["proposal_0"])[0]
+        np.testing.assert_allclose(np.asarray(p_fresh), np.asarray(p_rest))
+        f_ckpt = jax.tree_util.tree_leaves(params["field"]["mlp_base"])[0]
+        f_rest = jax.tree_util.tree_leaves(restored["field"]["mlp_base"])[0]
+        np.testing.assert_allclose(np.asarray(f_ckpt), np.asarray(f_rest))
+        # appearance embedding must come from fresh init (dropped on load)
+        a_fresh = fresh["field"]["appearance"]["embedding"]
+        a_rest = restored["field"]["appearance"]["embedding"]
+        np.testing.assert_allclose(np.asarray(a_fresh), np.asarray(a_rest))
