@@ -1,0 +1,94 @@
+"""Benchmark: nerfacto render throughput (rays/sec/chip) on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): the reference renders eval images through nerfstudio's
+chunked `get_outputs_for_camera_ray_bundle` (32768-ray chunks) on a 2080 Ti;
+from the reference's documented wall-clocks (~20 min generation for ~100
+views at ~1600x1000 with one NeRF render + one SDXL call per view, and
+30k-iteration training at 4096 rays/batch in ~20 min => ~1.0e5 rays/s train),
+we take 3.0e5 rays/s as the 2080 Ti full-pipeline render-throughput baseline.
+
+Design: renders are dispatched as a scan over chunks inside ONE jit call so
+host->device latency is amortized (the TPU link here is a tunnel); timing is
+steady-state (post-compile), averaged over repeats.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_RAYS_PER_SEC = 3.0e5  # 2080 Ti nerfacto eval render (see docstring)
+
+
+def main():
+    from signerf_tpu.models.nerfacto import NerfactoModel, NerfactoModelConfig
+
+    # Full-size nerfacto (reference signerf_config dims): 16 levels, 2^19
+    # table, 2048 max res, 48+:(256,96) samples.
+    cfg = NerfactoModelConfig()
+    model = NerfactoModel(cfg, num_train_images=8)
+    params = model.init(jax.random.PRNGKey(0))
+
+    chunk = 1 << 15  # reference eval chunk (signerf_config.py:32)
+    num_chunks = 16
+    total_rays = chunk * num_chunks
+
+    key = jax.random.PRNGKey(1)
+    dirs = jax.random.normal(key, (total_rays, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    from signerf_tpu.cameras.cameras import RayBundle
+
+    bundle = RayBundle(
+        origins=jnp.zeros((total_rays, 3)),
+        directions=dirs,
+        pixel_area=jnp.full((total_rays, 1), 1e-6),
+        camera_indices=jnp.zeros((total_rays, 1), jnp.int32),
+        nears=jnp.full((total_rays, 1), 0.05),
+        fars=jnp.full((total_rays, 1), 1000.0),
+    )
+    chunked = jax.tree_util.tree_map(
+        lambda x: x.reshape(num_chunks, chunk, *x.shape[1:]), bundle
+    )
+
+    @jax.jit
+    def render_all(params, chunked):
+        def one(c):
+            out = model.apply(params, c, train=False)
+            return out["rgb"], out["depth"]
+
+        return jax.lax.map(one, chunked)
+
+    # Warmup/compile.
+    out = render_all(params, chunked)
+    jax.block_until_ready(out)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = render_all(params, chunked)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+
+    rays_per_sec = total_rays / dt
+    n_chips = len(jax.devices())
+    per_chip = rays_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "nerfacto_render_rays_per_sec_per_chip",
+                "value": round(per_chip, 1),
+                "unit": "rays/s/chip",
+                "vs_baseline": round(per_chip / BASELINE_RAYS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
