@@ -1,0 +1,576 @@
+"""Dataset generator: reference-sheet editing + full dataset regeneration.
+
+Capability parity (SURVEY.md §2a "Dataset generator", §3.2/3.3 call stacks):
+re-implements /root/reference/signerf/datasetgenerator/datasetgenerator.py:
+
+  * output directory schema `images/ masks/ conditions/ rendered/ originals/
+    references/` + `_{downscale}` variants + transforms.json + config.yml
+    (:146-182);
+  * `generate_reference_sheet` — r*c-1 views composed into one padded grid,
+    ONE diffusion inpaint, masked blend, cell split-back (:470-594);
+  * `generate_with_reference_sheet` — per view: render + mask/condition,
+    splice into the LAST grid cell, inpaint, crop, blend, upscale (:597-674);
+  * `render_camera` — NeRF render + mask + condition in `shape` / `aabb`
+    modes (:677-818; the mask/condition math lives in
+    signerf_tpu/editing/conditions.py);
+  * original-dataset merge with inverted masks (:344-389);
+  * incremental transforms.json writes after each phase (:323-342, :387-389)
+    — the crash-resume mechanism (SURVEY.md §5 failure handling);
+  * `save_generated_images` PNG layout + frame schema (`fl_x..h`,
+    `file_path`, `_mask_path`, `transform_matrix`/`scene_transform_matrix`)
+    (:398-468).
+
+TPU-first notes: the NeRF render, mesh depth, mask/condition synthesis,
+resizes, sheet composition and blend all run on device; the host only
+decodes/encodes PNGs and drives the loop. The diffusion call is in-process
+(jax_sdxl mode) so a whole edit pass never crosses a process boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from signerf_tpu import config as cfglib
+from signerf_tpu.cameras.cameras import Cameras
+from signerf_tpu.diffusion.diffuser import Diffuser, DiffuserConfig
+from signerf_tpu.editing.conditions import (
+    MaskingConfig,
+    aabb_mask_condition,
+    shape_mask_condition,
+)
+from signerf_tpu.editing.sheet import (
+    SheetLayout,
+    blend_with_mask,
+    compose_sheet,
+    extract_last_cell,
+    resize_bilinear,
+    resize_mask,
+    splice_last_cell,
+    split_cells,
+)
+from signerf_tpu.utils.images import image_to_array, save_array_png
+
+# render_fn(camera: Cameras, camera_index: int) -> {"rgb": [H,W,3], "depth": [H,W,1]}
+RenderFn = Callable[[Cameras, int], Dict[str, jnp.ndarray]]
+
+
+@dataclasses.dataclass
+class RendererConfig:
+    """Proxy-object placement (parity: renderer.py:23-39)."""
+
+    position: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    rotation: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # XYZ Euler, deg
+    scale: Tuple[float, float, float] = (0.1, 0.1, 0.1)
+    color: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
+    object_path: str = "icosphere"  # OBJ path or primitive name
+
+
+@dataclasses.dataclass
+class DatasetGeneratorConfig:
+    """Parity: DatasetGeneratorConfig (datasetgenerator.py:32-81)."""
+
+    path: Path = Path("./generations")
+    dataset_name: str = "experiment"
+    downscale_factor: int = 2
+    fx: Optional[float] = None
+    fy: Optional[float] = None
+    cx: Optional[float] = None
+    cy: Optional[float] = None
+    width: Optional[int] = None
+    height: Optional[int] = None
+    masking_mode: str = "aabb"  # "shape" | "aabb"
+    aabb_min: Tuple[float, float, float] = (-0.1, -0.1, -0.1)
+    aabb_max: Tuple[float, float, float] = (0.1, 0.1, 0.1)
+    rows: int = 2
+    cols: int = 3
+    mask_dilation: Optional[Tuple[int, int]] = (50, 50)
+    additional_depth_radius: float = 0.1
+    renderer: RendererConfig = dataclasses.field(default_factory=RendererConfig)
+    diffuser: DiffuserConfig = dataclasses.field(default_factory=DiffuserConfig)
+    border_width_between_images: int = 0
+    inverse_mask: bool = False
+    manual_depth: Optional[Tuple[float, float]] = None
+    combine_shape_with_depth: bool = False
+
+
+class DatasetGenerator:
+    def __init__(
+        self,
+        config: DatasetGeneratorConfig,
+        original_transform_matrix: np.ndarray,  # [3|4, 4]
+        original_scale_factor: float,
+        transform_poses_to_original_space: Callable[[np.ndarray], np.ndarray],
+        render_fn: RenderFn,
+        diffuser: Optional[Diffuser] = None,
+    ):
+        self.config = config
+        self.original_transform_matrix = np.asarray(original_transform_matrix)
+        self.original_scale_factor = float(original_scale_factor)
+        self.transform_poses_to_original_space = transform_poses_to_original_space
+        self.render_fn = render_fn
+        self.diffuser = diffuser or Diffuser(config.diffuser)
+        self.is_synthetic = False
+        self._mesh: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
+        self.dataset_path: Optional[Path] = None
+
+    # ------------------------------------------------------------------
+    # intrinsics backfill (parity: signerf_pipeline.py:60-88)
+    # ------------------------------------------------------------------
+
+    def backfill_intrinsics(self, cameras: Cameras) -> None:
+        c = self.config
+        if c.fx is None:
+            c.fx = float(cameras.fx[0])
+        if c.fy is None:
+            c.fy = float(cameras.fy[0])
+        if c.cx is None:
+            c.cx = float(cameras.cx[0])
+        if c.cy is None:
+            c.cy = float(cameras.cy[0])
+        if c.width is None:
+            c.width = int(cameras.width)
+        if c.height is None:
+            c.height = int(cameras.height)
+
+    def _cameras_from_poses(self, c2ws: np.ndarray) -> Cameras:
+        c = self.config
+        n = c2ws.shape[0]
+        return Cameras(
+            camera_to_worlds=jnp.asarray(c2ws[:, :3, :4], jnp.float32),
+            fx=jnp.full((n,), c.fx, jnp.float32),
+            fy=jnp.full((n,), c.fy, jnp.float32),
+            cx=jnp.full((n,), c.cx, jnp.float32),
+            cy=jnp.full((n,), c.cy, jnp.float32),
+            width=int(c.width),
+            height=int(c.height),
+        )
+
+    # ------------------------------------------------------------------
+    # proxy mesh
+    # ------------------------------------------------------------------
+
+    def setup_renderer(self) -> None:
+        """Load + pose the proxy mesh (parity: Renderer.setup,
+        renderer.py:64-146)."""
+        from signerf_tpu.geometry.obj import (
+            load_obj,
+            object_pose_matrix,
+            transform_vertices,
+        )
+        from signerf_tpu.geometry import primitives
+
+        rc = self.config.renderer
+        if rc.object_path == "icosphere":
+            verts, faces = primitives.icosphere(3, 1.0)
+        elif rc.object_path == "cube":
+            verts, faces = primitives.cube(1.0)
+        else:
+            path = Path(rc.object_path)
+            if not path.exists() or path.suffix != ".obj":
+                print(f"[generator] proxy mesh {path} missing; skipping setup")
+                return
+            verts, faces = load_obj(path)
+        pose = object_pose_matrix(rc.position, rc.rotation, rc.scale)
+        verts = transform_vertices(verts, pose)
+        self._mesh = (jnp.asarray(verts), jnp.asarray(faces))
+
+    def _mesh_render(self, cameras: Cameras, index: int):
+        from signerf_tpu.geometry.raster import mesh_depth_render
+
+        assert self._mesh is not None, "setup_renderer() not called"
+        verts, faces = self._mesh
+        return mesh_depth_render(
+            cameras,
+            verts,
+            faces,
+            color=self.config.renderer.color[:3],
+            camera_index=index,
+        )
+
+    # ------------------------------------------------------------------
+    # directory + transforms
+    # ------------------------------------------------------------------
+
+    _DIRS = ("images", "masks", "conditions", "rendered", "originals")
+
+    def init_directory(self) -> None:
+        c = self.config
+        self.dataset_path = Path(c.path) / c.dataset_name
+        for name in self._DIRS:
+            (self.dataset_path / name).mkdir(parents=True, exist_ok=True)
+            (self.dataset_path / f"{name}_{c.downscale_factor}").mkdir(
+                parents=True, exist_ok=True
+            )
+        (self.dataset_path / "references").mkdir(parents=True, exist_ok=True)
+        cfglib.save_yaml(c, self.dataset_path / "config.yml")
+
+    def _base_transforms(self, merged: bool) -> Dict[str, Any]:
+        return {
+            "camera_model": "OPENCV",
+            "orientation_override": "none",
+            "method": "SIGNeRF",
+            "is_synthetic": self.is_synthetic,
+            "is_combined": merged,
+            "frames": [],
+            "original_transform_matrix": self.original_transform_matrix.tolist(),
+            "original_scale_factor": self.original_scale_factor,
+        }
+
+    def _write_transforms(self, transforms: Dict[str, Any]) -> None:
+        with open(self.dataset_path / "transforms.json", "w") as fh:
+            json.dump(transforms, fh, indent=4)
+
+    # ------------------------------------------------------------------
+    # per-camera render + mask + condition (parity: render_camera :677-818)
+    # ------------------------------------------------------------------
+
+    def render_camera(
+        self,
+        cameras: Cameras,
+        index: int,
+        with_mask: bool = True,
+        with_condition: bool = True,
+    ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+        c = self.config
+        outputs = self.render_fn(cameras, index)
+        rgb = outputs["rgb"]  # [H, W, 3]
+        depth = outputs["depth"]  # [H, W, 1]
+        if not with_mask:
+            return rgb, None, None
+
+        mcfg = MaskingConfig(
+            masking_mode=c.masking_mode,
+            aabb_min=tuple(c.aabb_min),
+            aabb_max=tuple(c.aabb_max),
+            mask_dilation=c.mask_dilation,
+            additional_depth_radius=c.additional_depth_radius,
+            manual_depth=c.manual_depth,
+            inverse_mask=c.inverse_mask,
+            combine_shape_with_depth=c.combine_shape_with_depth,
+        )
+        if c.masking_mode == "shape":
+            _, mesh_depth = self._mesh_render(cameras, index)
+            mask, cond = shape_mask_condition(depth, mesh_depth, mcfg)
+        else:
+            rb = cameras.generate_rays(camera_index=index)
+            mesh_depth = mesh_color = None
+            if c.combine_shape_with_depth and self._mesh is not None:
+                mesh_color, mesh_depth = self._mesh_render(cameras, index)
+            mask, cond = aabb_mask_condition(
+                depth,
+                rb.origins,
+                rb.directions,
+                mcfg,
+                mesh_depth=mesh_depth,
+                mesh_color=mesh_color,
+            )
+        if not with_condition:
+            return rgb, mask, None
+        return rgb, mask, cond
+
+    # ------------------------------------------------------------------
+    # reference sheet (parity: :470-594)
+    # ------------------------------------------------------------------
+
+    def _layout(self) -> SheetLayout:
+        c = self.config
+        return SheetLayout(
+            rows=c.rows,
+            cols=c.cols,
+            cell_height=int(c.height) // c.downscale_factor,
+            cell_width=int(c.width) // c.downscale_factor,
+            border=c.border_width_between_images,
+        )
+
+    def generate_reference_sheet(self, cameras: Cameras):
+        c = self.config
+        lo = self._layout()
+        n_ref = len(cameras)
+        if n_ref != c.rows * c.cols - 1:
+            raise ValueError(
+                f"Camera count {n_ref} is not equal to (rows * cols) - 1 = "
+                f"{c.rows * c.cols - 1}"
+            )
+        sh, sw = lo.cell_height, lo.cell_width
+        references: List[Dict[str, jnp.ndarray]] = []
+        imgs, msks, cnds = [], [], []
+        for i in range(n_ref):
+            render, mask, cond = self.render_camera(cameras, i)
+            r_s = resize_bilinear(render, sh, sw)
+            m_s = resize_mask(mask, sh, sw)
+            c_s = resize_bilinear(cond, sh, sw)
+            imgs.append(r_s)
+            msks.append(m_s)
+            cnds.append(c_s)
+            references.append(
+                {
+                    "render": render,
+                    "mask": mask,
+                    "condition": cond,
+                    "render_scaled": r_s,
+                    "mask_scaled": m_s,
+                    "condition_scaled": c_s,
+                }
+            )
+        image_sheet, mask_sheet, cond_sheet = compose_sheet(lo, imgs, msks, cnds)
+
+        edited_sheet = jnp.asarray(
+            self.diffuser.diffuse(
+                np.asarray(image_sheet),
+                np.asarray(image_sheet),
+                np.asarray(mask_sheet),
+                np.asarray(cond_sheet),
+            ),
+            jnp.float32,
+        )
+        edited_sheet = blend_with_mask(edited_sheet, image_sheet, mask_sheet)
+
+        for i, cell in enumerate(split_cells(lo, edited_sheet, n_ref)):
+            references[i]["edited_scaled"] = cell
+            references[i]["edited"] = resize_bilinear(
+                cell, int(c.height), int(c.width)
+            )
+        return image_sheet, mask_sheet, cond_sheet, edited_sheet, references
+
+    # ------------------------------------------------------------------
+    # per-view generation (parity: :597-674)
+    # ------------------------------------------------------------------
+
+    def generate_with_reference_sheet(
+        self,
+        cameras: Cameras,
+        index: int,
+        filename: Optional[Path],
+        image_sheet: jnp.ndarray,
+        cond_sheet: jnp.ndarray,
+    ) -> Dict[str, jnp.ndarray]:
+        c = self.config
+        lo = self._layout()
+        sh, sw = lo.cell_height, lo.cell_width
+
+        render, mask, cond = self.render_camera(cameras, index)
+        if filename is not None:
+            from PIL import Image
+
+            with Image.open(filename) as img:
+                render = jnp.asarray(image_to_array(img.convert("RGB")))
+                if render.shape[:2] != (int(c.height), int(c.width)):
+                    render = resize_bilinear(render, int(c.height), int(c.width))
+
+        r_s = resize_bilinear(render, sh, sw)
+        m_s = resize_mask(mask, sh, sw)
+        c_s = resize_bilinear(cond, sh, sw)
+
+        image_sheet2, mask_sheet, cond_sheet2 = splice_last_cell(
+            lo, image_sheet, cond_sheet, r_s, m_s, c_s
+        )
+        edited_sheet = jnp.asarray(
+            self.diffuser.diffuse(
+                np.asarray(image_sheet2),
+                np.asarray(image_sheet2),
+                np.asarray(mask_sheet),
+                np.asarray(cond_sheet2),
+            ),
+            jnp.float32,
+        )
+        edited_scaled = extract_last_cell(lo, edited_sheet)
+        edited_scaled = blend_with_mask(edited_scaled, r_s, m_s)
+        edited = resize_bilinear(edited_scaled, int(c.height), int(c.width))
+
+        return {
+            "render": render,
+            "mask": mask,
+            "condition": cond,
+            "edited": edited,
+            "render_scaled": r_s,
+            "mask_scaled": m_s,
+            "condition_scaled": c_s,
+            "edited_scaled": edited_scaled,
+        }
+
+    # ------------------------------------------------------------------
+    # saving (parity: save_generated_images :398-468)
+    # ------------------------------------------------------------------
+
+    def save_generated_images(
+        self,
+        idx: int,
+        images: Dict[str, jnp.ndarray],
+        cameras: Cameras,
+        cam_index: int,
+        transforms: Dict[str, Any],
+        is_original: bool = False,
+    ) -> Dict[str, Any]:
+        c = self.config
+        dp = self.dataset_path
+        ds = c.downscale_factor
+        if "edited" in images:
+            save_array_png(images["edited"], dp / "images" / f"image_{idx}.png")
+        if "render" in images:
+            sub = "originals" if is_original else "rendered"
+            save_array_png(images["render"], dp / sub / f"image_{idx}.png")
+        if "mask" in images:
+            save_array_png(images["mask"], dp / "masks" / f"mask_{idx}.png")
+        if "condition" in images:
+            save_array_png(
+                images["condition"], dp / "conditions" / f"condition_{idx}.png"
+            )
+        if "edited_scaled" in images:
+            save_array_png(
+                images["edited_scaled"], dp / f"images_{ds}" / f"image_{idx}.png"
+            )
+        if "render_scaled" in images:
+            save_array_png(
+                images["render_scaled"], dp / f"rendered_{ds}" / f"image_{idx}.png"
+            )
+        if "mask_scaled" in images:
+            save_array_png(
+                images["mask_scaled"], dp / f"masks_{ds}" / f"mask_{idx}.png"
+            )
+        if "condition_scaled" in images:
+            save_array_png(
+                images["condition_scaled"],
+                dp / f"conditions_{ds}" / f"condition_{idx}.png",
+            )
+
+        c2w = np.asarray(cameras.camera_to_worlds[cam_index])  # [3, 4]
+        scene_tm = np.concatenate([c2w, [[0.0, 0.0, 0.0, 1.0]]], axis=0)
+        transforms["frames"].append(
+            {
+                "fl_x": float(cameras.fx[cam_index]),
+                "fl_y": float(cameras.fy[cam_index]),
+                "cx": float(cameras.cx[cam_index]),
+                "cy": float(cameras.cy[cam_index]),
+                "w": int(cameras.width),
+                "h": int(cameras.height),
+                "file_path": f"./images/image_{idx}.png",
+                "_mask_path": f"./masks/mask_{idx}.png",
+                # Reference stores the scene-space pose in both keys
+                # (datasetgenerator.py:461-462 FIXME acknowledged there).
+                "transform_matrix": scene_tm.tolist(),
+                "scene_transform_matrix": scene_tm.tolist(),
+            }
+        )
+        return transforms
+
+    # ------------------------------------------------------------------
+    # full generation (parity: generate_dataset :185-395)
+    # ------------------------------------------------------------------
+
+    def generate_dataset(
+        self,
+        reference_camera_to_worlds: np.ndarray,  # [R, 3|4, 4]
+        original_cameras: Optional[Cameras] = None,
+        original_filenames: Optional[Sequence[Optional[Path]]] = None,
+        original_images: Optional[np.ndarray] = None,  # [N, H, W, 3] float
+        synthetic_camera_to_worlds: Optional[np.ndarray] = None,
+        merge_with_original_dataset: bool = False,
+    ) -> Path:
+        c = self.config
+        if original_cameras is None and synthetic_camera_to_worlds is None:
+            raise ValueError(
+                "Either original dataset or camera_to_worlds must be given"
+            )
+        if merge_with_original_dataset and (
+            original_cameras is None or synthetic_camera_to_worlds is None
+        ):
+            raise ValueError(
+                "Original dataset and camera_to_worlds must be given to merge"
+            )
+
+        self.init_directory()
+        self.setup_renderer()
+        self.is_synthetic = synthetic_camera_to_worlds is not None
+
+        start = time.time()
+        ref_cams = self._cameras_from_poses(
+            np.asarray(reference_camera_to_worlds)
+        )
+        if synthetic_camera_to_worlds is not None:
+            gen_cams = self._cameras_from_poses(
+                np.asarray(synthetic_camera_to_worlds)
+            )
+            gen_filenames: List[Optional[Path]] = [None] * len(gen_cams)
+        else:
+            gen_cams = original_cameras
+            gen_filenames = list(original_filenames or [None] * len(gen_cams))
+
+        transforms = self._base_transforms(merge_with_original_dataset)
+
+        (
+            image_sheet,
+            mask_sheet,
+            cond_sheet,
+            edited_sheet,
+            references,
+        ) = self.generate_reference_sheet(ref_cams)
+        refs_dir = self.dataset_path / "references"
+        save_array_png(image_sheet, refs_dir / "image_reference_sheet.png")
+        save_array_png(mask_sheet, refs_dir / "mask_reference_sheet.png")
+        save_array_png(cond_sheet, refs_dir / "condition_reference_sheet.png")
+        save_array_png(edited_sheet, refs_dir / "edited_reference_sheet.png")
+
+        idx = 0
+        transforms["reference_indices"] = []
+        for i in range(len(ref_cams)):
+            transforms = self.save_generated_images(
+                idx, references[i], ref_cams, i, transforms
+            )
+            transforms["reference_indices"].append(idx)
+            idx += 1
+        self._write_transforms(transforms)
+
+        transforms["generated_indices"] = []
+        for i in range(len(gen_cams)):
+            images = self.generate_with_reference_sheet(
+                gen_cams, i, gen_filenames[i], edited_sheet, cond_sheet
+            )
+            transforms = self.save_generated_images(
+                idx,
+                images,
+                gen_cams,
+                i,
+                transforms,
+                is_original=gen_filenames[i] is not None,
+            )
+            transforms["generated_indices"].append(idx)
+            idx += 1
+        self._write_transforms(transforms)
+
+        if merge_with_original_dataset:
+            transforms["original_indices"] = []
+            lo = self._layout()
+            sh, sw = lo.cell_height, lo.cell_width
+            for i in range(len(original_cameras)):
+                image = jnp.asarray(original_images[i], jnp.float32)
+                render, mask, cond = self.render_camera(original_cameras, i)
+                mask = 1.0 - mask  # inverted: originals exclude the object
+                images = {
+                    "render": render,
+                    "mask": mask,
+                    "condition": cond,
+                    "edited": image,
+                    "render_scaled": resize_bilinear(render, sh, sw),
+                    "mask_scaled": resize_mask(mask, sh, sw),
+                    "condition_scaled": resize_bilinear(cond, sh, sw),
+                    "edited_scaled": resize_bilinear(image, sh, sw),
+                }
+                transforms = self.save_generated_images(
+                    idx, images, original_cameras, i, transforms, True
+                )
+                transforms["original_indices"].append(idx)
+                idx += 1
+            self._write_transforms(transforms)
+
+        print(
+            f"[generator] dataset generated in "
+            f"{(time.time() - start) / 60:.2f} minutes -> {self.dataset_path}"
+        )
+        return self.dataset_path

@@ -123,6 +123,7 @@ class NerfactoField(nn.Module):
     average_appearance_embedding: bool = True  # eval uses mean embedding
     predict_normals: bool = False
     sh_levels: int = 4
+    average_init_density: float = 1.0
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     def setup(self):
@@ -163,7 +164,9 @@ class NerfactoField(nn.Module):
         pos01 = contract_to_unit(positions)
         feats = self.encoding(pos01)
         h = self.mlp_base(feats)
-        density = trunc_exp(h[..., 0] - 1.0)
+        # nerfstudio parity: density = average_init_density * trunc_exp(x)
+        # (signerf sets average_init_density=0.01, signerf_config.py:40).
+        density = self.average_init_density * trunc_exp(h[..., 0] - 1.0)
         return density, h[..., 1:]
 
     def __call__(

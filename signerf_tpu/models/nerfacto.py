@@ -59,6 +59,7 @@ class NerfactoModelConfig:
     hidden_dim_color: int = 64
     appearance_embed_dim: int = 32
     use_appearance_embedding: bool = True
+    average_init_density: float = 1.0
     num_proposal_samples_per_ray: Tuple[int, ...] = (256, 96)
     num_nerf_samples_per_ray: int = 48
     proposal_update_every: int = 5
@@ -103,6 +104,7 @@ class NerfactoModel:
             appearance_embed_dim=config.appearance_embed_dim,
             use_appearance_embedding=config.use_appearance_embedding,
             predict_normals=config.predict_normals,
+            average_init_density=config.average_init_density,
         )
         self.proposal_fields = []
         n_props = config.num_proposal_iterations

@@ -58,45 +58,42 @@ def init_hashgrid_table(
     )
 
 
-def _corner_indices(
+def _corner_index(
     coords: jnp.ndarray, resolutions: Sequence[int], table_size: int
 ) -> jnp.ndarray:
-    """Flat table indices of the 8 cell corners for every level.
+    """Flat table indices of ONE corner, vectorized over levels.
+
+    Dense-vs-hash is a per-level *static* choice; both index forms are
+    computed vectorized and merged with a static mask so the HLO contains a
+    single fused elementwise block regardless of L (compile-time matters:
+    the remote-compile path chokes on L-unrolled graphs).
 
     Args:
-      coords: [L, N, 8, 3] int32 integer corner coordinates (already clamped
-        to [0, N_l]).
+      coords: [L, N, 3] int32 corner coordinates (already clamped to
+        [0, N_l]).
       resolutions: python ints, length L.
       table_size: T.
 
     Returns:
-      [L, N, 8] int32 indices into the per-level table.
+      [L, N] int32 indices into the per-level table.
     """
-    num_levels = len(resolutions)
-    out = []
-    for lvl in range(num_levels):
-        res = resolutions[lvl]
-        c = coords[lvl]  # [N, 8, 3]
-        if (res + 1) ** 3 <= table_size:
-            # Dense: no collisions, row-major over (res+1)^3 grid.
-            stride = res + 1
-            idx = c[..., 0] + c[..., 1] * stride + c[..., 2] * stride * stride
-        else:
-            cu = c.astype(jnp.uint32)
-            idx = (
-                cu[..., 0] * jnp.uint32(_PRIMES[0])
-                ^ cu[..., 1] * jnp.uint32(_PRIMES[1])
-                ^ cu[..., 2] * jnp.uint32(_PRIMES[2])
-            ) % jnp.uint32(table_size)
-            idx = idx.astype(jnp.int32)
-        out.append(idx)
-    return jnp.stack(out, axis=0)
+    strides = jnp.asarray([r + 1 for r in resolutions], jnp.int32)[:, None]
+    dense_mask = jnp.asarray(
+        [(r + 1) ** 3 <= table_size for r in resolutions], bool
+    )[:, None]
+    x, y, z = coords[..., 0], coords[..., 1], coords[..., 2]
+    idx_dense = x + y * strides + z * strides * strides
+    cu = coords.astype(jnp.uint32)
+    idx_hash = (
+        cu[..., 0] * jnp.uint32(_PRIMES[0])
+        ^ cu[..., 1] * jnp.uint32(_PRIMES[1])
+        ^ cu[..., 2] * jnp.uint32(_PRIMES[2])
+    ) % jnp.uint32(table_size)
+    return jnp.where(dense_mask, idx_dense, idx_hash.astype(jnp.int32))
 
 
 # The 8 unit-cube corner offsets, ordered x-fastest.
-_OFFSETS = jnp.array(
-    [[i & 1, (i >> 1) & 1, (i >> 2) & 1] for i in range(8)], dtype=jnp.int32
-)  # [8, 3]
+_OFFSETS = tuple((i & 1, (i >> 1) & 1, (i >> 2) & 1) for i in range(8))
 
 
 def hashgrid_encode(
@@ -113,6 +110,12 @@ def hashgrid_encode(
 
     Returns:
       [..., L * F] concatenated per-level trilinear features.
+
+    Memory note: the 8 cube corners are processed in a python loop with an
+    in-place accumulator, so peak intermediates are O(L*N*F) — NOT
+    O(L*N*8*F). At render scale (N ~ 8M samples, L=16) the 8x-materialized
+    form would be multiple GiB of index/weight arrays and stalls HBM; the
+    looped form is what lets a 32768-ray render chunk fit comfortably.
     """
     num_levels, table_size, feat = table.shape
     assert len(resolutions) == num_levels
@@ -126,29 +129,22 @@ def hashgrid_encode(
     floor = jnp.floor(scaled)
     frac = scaled - floor  # [L, N, 3]
     base = floor.astype(jnp.int32)  # [L, N, 3]
+    max_coord = jnp.asarray(list(resolutions), jnp.int32)[:, None, None]
 
-    corners = base[:, :, None, :] + _OFFSETS[None, None, :, :]  # [L, N, 8, 3]
-    # Clamp into the valid grid range per level (static per level).
-    max_coord = jnp.asarray([r for r in resolutions], jnp.int32)[:, None, None, None]
-    corners = jnp.clip(corners, 0, max_coord)
+    feats = jnp.zeros((num_levels, n, feat), pos.dtype)
+    for off in _OFFSETS:
+        off_arr = jnp.asarray(off, jnp.int32)
+        corner = jnp.clip(base + off_arr, 0, max_coord)  # [L, N, 3]
+        idx = _corner_index(corner, resolutions, table_size)  # [L, N]
+        # Trilinear weight for this corner: prod over axes.
+        w = jnp.prod(
+            jnp.where(
+                jnp.asarray(off, pos.dtype) > 0.5, frac, 1.0 - frac
+            ),
+            axis=-1,
+        )  # [L, N]
+        gathered = jax.vmap(lambda t, i: t[i])(table, idx)  # [L, N, F]
+        feats = feats + w[..., None] * gathered
 
-    idx = _corner_indices(corners, resolutions, table_size)  # [L, N, 8]
-
-    # Trilinear weights: prod over axes of (1-frac) or frac per corner bit.
-    offs = _OFFSETS.astype(pos.dtype)  # [8, 3]
-    w = jnp.prod(
-        jnp.where(
-            offs[None, None, :, :] > 0.5,
-            frac[:, :, None, :],
-            1.0 - frac[:, :, None, :],
-        ),
-        axis=-1,
-    )  # [L, N, 8]
-
-    # Batched gather: table [L, T, F], idx [L, N*8] -> [L, N*8, F]
-    gathered = jax.vmap(lambda t, i: t[i])(table, idx.reshape(num_levels, -1))
-    gathered = gathered.reshape(num_levels, n, 8, feat)
-
-    feats = jnp.sum(w[..., None] * gathered, axis=2)  # [L, N, F]
     out = jnp.moveaxis(feats, 0, 1).reshape(n, num_levels * feat)
     return out.reshape(*batch_shape, num_levels * feat)

@@ -1,0 +1,102 @@
+"""SIGNeRF model + LPIPS tests (reference semantics: signerf.py:14-82)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from signerf_tpu.models.signerf import SIGNeRFModel, SIGNeRFModelConfig
+from signerf_tpu.ops.lpips import init_lpips, lpips
+from tests.test_nerfacto_core import make_bundle, tiny_config
+
+
+def tiny_signerf_config(**kw):
+    base = tiny_config()
+    import dataclasses
+
+    fields = {f.name: getattr(base, f.name) for f in dataclasses.fields(base)}
+    fields.update(dict(patch_size=32, lpips_net="alex"), **kw)
+    return SIGNeRFModelConfig(**fields)
+
+
+class TestLPIPS:
+    def test_zero_for_identical(self):
+        params = init_lpips(jax.random.PRNGKey(0), "alex")
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3)) * 2 - 1
+        d = lpips(params, x, x)
+        np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+
+    def test_positive_and_monotone_for_noise(self):
+        params = init_lpips(jax.random.PRNGKey(0), "alex")
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3)) * 2 - 1
+        n = jax.random.normal(jax.random.PRNGKey(2), x.shape)
+        d_small = lpips(params, x, jnp.clip(x + 0.05 * n, -1, 1))
+        d_large = lpips(params, x, jnp.clip(x + 0.5 * n, -1, 1))
+        assert float(d_small.min()) > 0
+        assert float(d_large.mean()) > float(d_small.mean())
+
+    def test_vgg_variant_runs(self):
+        params = init_lpips(jax.random.PRNGKey(0), "vgg")
+        x = jnp.zeros((1, 32, 32, 3))
+        y = jnp.ones((1, 32, 32, 3))
+        assert float(lpips(params, x, y)[0]) > 0
+
+    def test_grad_flows(self):
+        params = init_lpips(jax.random.PRNGKey(0), "alex")
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3))
+        y = jnp.zeros_like(x)
+        g = jax.grad(lambda a: jnp.sum(lpips(params, a, y)))(x)
+        assert float(jnp.abs(g).sum()) > 0
+        assert bool(jnp.isfinite(g).all())
+
+
+class TestSIGNeRFModel:
+    @pytest.fixture(scope="class")
+    def model_and_params(self):
+        model = SIGNeRFModel(tiny_signerf_config(), num_train_images=3)
+        return model, model.init(jax.random.PRNGKey(0))
+
+    def test_l1_loss_used(self, model_and_params):
+        model, params = model_and_params
+        rb = make_bundle(1024)  # one 32x32 patch
+        out = model.apply(params, rb, rng=jax.random.PRNGKey(1), train=True)
+        ld = model.loss_dict(out, {"image": jnp.zeros((1024, 3))})
+        assert {"rgb_loss", "lpips_loss", "interlevel_loss", "distortion_loss"} <= set(
+            ld
+        )
+        # L1 of outputs vs zeros == mean |rgb|
+        np.testing.assert_allclose(
+            float(ld["rgb_loss"]), float(jnp.mean(jnp.abs(out["rgb"]))), rtol=1e-6
+        )
+        for v in ld.values():
+            assert bool(jnp.isfinite(v))
+
+    def test_mse_variant(self):
+        model = SIGNeRFModel(
+            tiny_signerf_config(use_l1=False, use_lpips=False), num_train_images=3
+        )
+        params = model.init(jax.random.PRNGKey(0))
+        rb = make_bundle(4)
+        out = model.apply(params, rb, rng=jax.random.PRNGKey(1), train=True)
+        ld = model.loss_dict(out, {"image": jnp.zeros((4, 3))})
+        assert "lpips_loss" not in ld
+        np.testing.assert_allclose(
+            float(ld["rgb_loss"]), float(jnp.mean(out["rgb"] ** 2)), rtol=1e-6
+        )
+
+    def test_lpips_params_not_in_trainable_tree(self, model_and_params):
+        model, params = model_and_params
+        assert "lpips" not in params  # frozen, excluded from checkpoints
+
+    def test_predict_normals_losses(self):
+        model = SIGNeRFModel(
+            tiny_signerf_config(predict_normals=True, use_lpips=False),
+            num_train_images=3,
+        )
+        params = model.init(jax.random.PRNGKey(0))
+        rb = make_bundle(4)
+        out = model.apply(params, rb, rng=jax.random.PRNGKey(1), train=True)
+        ld = model.loss_dict(out, {"image": jnp.zeros((4, 3))})
+        assert {"orientation_loss", "pred_normal_loss"} <= set(ld)
+        for v in ld.values():
+            assert bool(jnp.isfinite(v))
