@@ -40,7 +40,8 @@ def main():
     model = NerfactoModel(cfg, num_train_images=8)
     params = model.init(jax.random.PRNGKey(0))
 
-    chunk = 1 << 15  # reference eval chunk (signerf_config.py:32)
+    chunk = 8192  # render chunk; XLA peak-memory-safe on 16GB v5e (the
+    # reference uses 32768 on CUDA w/ tcnn streaming, signerf_config.py:32)
     num_chunks = 16
     total_rays = chunk * num_chunks
 

@@ -113,7 +113,14 @@ class SIGNeRFDataManager:
     def __init__(self, config: SIGNeRFDataManagerConfig):
         self.config = config
         self.outputs: DataparserOutputs = parse_transforms(config.dataparser)
-        self.cameras = self.outputs.cameras
+        # The dataparser builds Cameras with host numpy leaves; move them to
+        # device arrays so in-jit indexing (traced camera ids) works.
+        import jax
+        import jax.numpy as jnp
+
+        self.cameras = jax.tree_util.tree_map(
+            jnp.asarray, self.outputs.cameras
+        )
         cams = self.cameras
         self.images = load_images(
             self.outputs.image_filenames, cams.width, cams.height

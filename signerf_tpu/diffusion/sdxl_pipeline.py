@@ -1,0 +1,367 @@
+"""SDXL + ControlNet-depth img2img/inpaint pipeline — the in-process
+replacement for the reference's SD Web UI server.
+
+Capability parity (SURVEY.md §2b "SDXL + ControlNet", §7.4): implements the
+knob surface the reference sends over HTTP (diffuser.py:132-169) natively:
+Euler-a sampling, steps/cfg/denoising-strength/seed, ControlNet depth
+conditioning with weight + guidance start/end, masked inpaint with
+mask_blur and fill modes. The whole grid inpaint is ONE jitted program:
+CLIP encode -> VAE encode -> fori_loop(UNet+ControlNet, CFG, ancestral
+step, latent mask blend) -> VAE decode.
+
+Weights: `weights_path` points to a directory with flax-serialized params
+(`sdxl_params.msgpack`, see scripts/convert_sdxl_weights.py for the offline
+torch->flax converter) + CLIP tokenizer files. Absent weights (this
+no-egress environment), params are deterministically random-initialized —
+the full pipeline still runs end-to-end, which is what the tests and the
+TPU benchmarks exercise; dropping real weights in changes no code.
+
+Sharding: with a mesh, `tensor_parallel_pspecs` shards attention-head and
+FF projections over the "tensor" axis; XLA inserts psums over ICI. The
+grid image's latent (e.g. 3x3 sheet at 1024 cells -> ~(3072/8)^2 = 147k
+tokens of self-attention at the top block) is exactly the workload tensor
+parallelism pays for (SURVEY.md §2c mapping).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from signerf_tpu.diffusion import sampler as S
+from signerf_tpu.diffusion.clip import (
+    CLIP_BIGG_CONFIG,
+    CLIP_L_CONFIG,
+    CLIPTextConfig,
+    CLIPTextModel,
+)
+from signerf_tpu.diffusion.tokenizer import load_tokenizer
+from signerf_tpu.diffusion.unet import (
+    SDXL_UNET_CONFIG,
+    TINY_UNET_CONFIG,
+    ControlNet,
+    UNet2DConditionModel,
+    UNetConfig,
+)
+from signerf_tpu.diffusion.vae import (
+    TINY_VAE_CONFIG,
+    AutoencoderKL,
+    VAEConfig,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class SDXLConfig:
+    unet: UNetConfig = SDXL_UNET_CONFIG
+    vae: VAEConfig = VAEConfig()
+    clip_l: CLIPTextConfig = CLIP_L_CONFIG
+    clip_g: CLIPTextConfig = CLIP_BIGG_CONFIG
+    vae_downscale: int = 8  # 2^(len(vae.block_out_channels)-1)
+
+
+TINY_SDXL_CONFIG = SDXLConfig(
+    unet=TINY_UNET_CONFIG,
+    vae=TINY_VAE_CONFIG,
+    clip_l=CLIPTextConfig(
+        vocab_size=49408, hidden_size=16, intermediate_size=32,
+        num_layers=2, num_heads=2,
+    ),
+    clip_g=CLIPTextConfig(
+        vocab_size=49408, hidden_size=16, intermediate_size=32,
+        num_layers=2, num_heads=2, projection_dim=16,
+    ),
+    vae_downscale=2,
+)
+
+
+def _context_dim(cfg: SDXLConfig) -> int:
+    return cfg.clip_l.hidden_size + cfg.clip_g.hidden_size
+
+
+class SDXLInpaintPipeline:
+    """Holds module defs + params and exposes `img2img`."""
+
+    def __init__(self, config: SDXLConfig, params: Dict[str, Any], tokenizer, mesh=None):
+        assert _context_dim(config) == config.unet.cross_attention_dim, (
+            "UNet cross_attention_dim must equal concat CLIP hidden sizes"
+        )
+        self.config = config
+        self.params = params
+        self.tokenizer = tokenizer
+        self.mesh = mesh
+        self.unet = UNet2DConditionModel(config.unet)
+        self.controlnet = ControlNet(
+            config.unet,
+            cond_downscale_steps=int(np.log2(config.vae_downscale)),
+        )
+        self.vae = AutoencoderKL(config.vae)
+        self.clip_l = CLIPTextModel(config.clip_l)
+        self.clip_g = CLIPTextModel(config.clip_g)
+        self._jit_cache: Dict[Tuple, Any] = {}
+
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        weights_path: Optional[str | Path] = None,
+        config: Optional[SDXLConfig] = None,
+        mesh=None,
+        seed: int = 0,
+    ) -> "SDXLInpaintPipeline":
+        config = config or (SDXLConfig() if weights_path else TINY_SDXL_CONFIG)
+        tokenizer = load_tokenizer(weights_path)
+        params = None
+        if weights_path is not None:
+            blob = Path(weights_path) / "sdxl_params.msgpack"
+            if blob.exists():
+                from flax import serialization
+
+                params = serialization.msgpack_restore(blob.read_bytes())
+        if params is None:
+            params = cls._random_init(config, seed)
+        if mesh is not None:
+            params = _shard_params(params, mesh)
+        return cls(config, params, tokenizer, mesh)
+
+    @staticmethod
+    def _random_init(config: SDXLConfig, seed: int) -> Dict[str, Any]:
+        keys = jax.random.split(jax.random.PRNGKey(seed), 5)
+        f = config.vae_downscale
+        h = w = 8 * f
+        lat = jnp.zeros((1, 8, 8, config.unet.in_channels))
+        ctx = jnp.zeros((1, 77, config.unet.cross_attention_dim))
+        pooled = jnp.zeros((1, config.clip_g.projection_dim or config.clip_g.hidden_size))
+        tids = jnp.zeros((1, 6))
+        t = jnp.zeros((1,))
+        unet = UNet2DConditionModel(config.unet)
+        cn = ControlNet(
+            config.unet, cond_downscale_steps=int(np.log2(f))
+        )
+        vae = AutoencoderKL(config.vae)
+        clip_l = CLIPTextModel(config.clip_l)
+        clip_g = CLIPTextModel(config.clip_g)
+        ids = jnp.zeros((1, 77), jnp.int32)
+        return {
+            "unet": unet.init(keys[0], lat, t, ctx, pooled, tids)["params"],
+            "controlnet": cn.init(
+                keys[1], lat, jnp.zeros((1, h, w, 1)), t, ctx, pooled, tids
+            )["params"],
+            "vae": vae.init(keys[2], jnp.zeros((1, h, w, 3)))["params"],
+            "clip_l": clip_l.init(keys[3], ids)["params"],
+            "clip_g": clip_g.init(keys[4], ids)["params"],
+        }
+
+    # ------------------------------------------------------------------
+    # prompt encoding
+    # ------------------------------------------------------------------
+
+    def encode_prompt(self, prompt: str, negative_prompt: str = ""):
+        """-> (context [2, 77, D], pooled [2, P]) for (uncond, cond)."""
+        ids = np.stack([self.tokenizer(negative_prompt), self.tokenizer(prompt)])
+        ids = jnp.asarray(ids)
+        _, pen_l, _ = self.clip_l.apply({"params": self.params["clip_l"]}, ids)
+        _, pen_g, _, proj_g = self.clip_g.apply(
+            {"params": self.params["clip_g"]}, ids
+        )
+        context = jnp.concatenate(
+            [pen_l.astype(jnp.float32), pen_g.astype(jnp.float32)], axis=-1
+        )
+        return context, proj_g.astype(jnp.float32)
+
+    # ------------------------------------------------------------------
+    # main entry
+    # ------------------------------------------------------------------
+
+    def img2img(
+        self,
+        image: np.ndarray,  # [H, W, 3] float [0, 1]
+        prompt: str,
+        negative_prompt: str = "",
+        mask: Optional[np.ndarray] = None,  # [H, W, 1] float, 1 = edit
+        control_image: Optional[np.ndarray] = None,  # [H, W, 1] depth cond
+        strength: float = 0.9,
+        num_steps: int = 20,
+        guidance_scale: float = 7.0,
+        controlnet_scale: float = 0.8,
+        controlnet_start: float = 0.0,
+        controlnet_end: float = 1.0,
+        seed: int = 1,
+        mask_blur: int = 4,
+        inpainting_fill: int = 1,
+    ) -> np.ndarray:
+        cfg = self.config
+        h, w = image.shape[:2]
+        f = cfg.vae_downscale
+        assert h % f == 0 and w % f == 0, (
+            f"image dims must be /{f} (sheet is /8-padded upstream)"
+        )
+
+        sigmas_np = S.strength_sigmas(S.get_sigmas(num_steps), strength)
+        context, pooled = self.encode_prompt(prompt, negative_prompt)
+        add_time_ids = jnp.asarray(
+            [[h, w, 0, 0, h, w]], jnp.float32
+        ).repeat(2, axis=0)
+
+        img = jnp.asarray(image, jnp.float32)
+        msk = None if mask is None else jnp.asarray(mask, jnp.float32)
+        ctrl = (
+            jnp.zeros((h, w, 1), jnp.float32)
+            if control_image is None
+            else jnp.asarray(control_image, jnp.float32)
+        )
+
+        key = (h, w, len(sigmas_np), msk is not None, mask_blur, inpainting_fill)
+        run = self._jit_cache.get(key)
+        if run is None:
+            # mask_blur / inpainting_fill drive python-level control flow.
+            run = jax.jit(self._run, static_argnums=(14, 15))
+            self._jit_cache[key] = run
+        out = run(
+            self.params,
+            img,
+            msk if msk is not None else jnp.ones((h, w, 1)),
+            jnp.asarray(msk is not None),
+            ctrl,
+            context,
+            pooled,
+            add_time_ids,
+            jnp.asarray(sigmas_np),
+            jnp.asarray(guidance_scale, jnp.float32),
+            jnp.asarray(controlnet_scale, jnp.float32),
+            jnp.asarray(controlnet_start, jnp.float32),
+            jnp.asarray(controlnet_end, jnp.float32),
+            jax.random.PRNGKey(seed),
+            mask_blur,
+            inpainting_fill,
+        )
+        return np.asarray(jnp.clip(out, 0.0, 1.0))
+
+    # ------------------------------------------------------------------
+
+    def _run(
+        self,
+        params,
+        image,
+        mask,
+        use_mask,
+        control_image,
+        context,
+        pooled,
+        add_time_ids,
+        sigmas,
+        guidance_scale,
+        controlnet_scale,
+        controlnet_start,
+        controlnet_end,
+        rng,
+        mask_blur: int,
+        inpainting_fill: int,
+    ):
+        cfg = self.config
+        f = cfg.vae_downscale
+        h, w = image.shape[:2]
+
+        blurred = S.gaussian_blur(mask, mask_blur)
+        filled = S.apply_fill_mode(image, blurred, inpainting_fill)
+
+        k_enc, k_fill, k_sample = jax.random.split(rng, 3)
+        init_latent = self.vae.apply(
+            {"params": params["vae"]},
+            (filled[None] * 2.0 - 1.0),
+            method="encode",
+        )  # [1, h/f, w/f, C]
+
+        latent_mask = jax.image.resize(
+            blurred, (h // f, w // f, 1), "linear"
+        )[None]
+        # fill modes 2/3: replace masked latents with noise / zeros
+        if inpainting_fill == 2:
+            noise = jax.random.normal(k_fill, init_latent.shape)
+            init_latent = (
+                init_latent * (1 - latent_mask) + noise * latent_mask
+            )
+        elif inpainting_fill == 3:
+            init_latent = init_latent * (1 - latent_mask)
+
+        cond_img = control_image[None]  # [1, H, W, 1]
+
+        def denoised_fn(x, sigma, step_frac):
+            x_in = S.scale_model_input(x, sigma)
+            t_cont = S.sigma_to_t(sigma, S.make_sd_schedule())
+            xb = jnp.concatenate([x_in, x_in], axis=0)  # [2, ...]
+            tb = jnp.full((2,), t_cont)
+            cb = jnp.concatenate([cond_img, cond_img], axis=0)
+
+            down_res, mid_res = self.controlnet.apply(
+                {"params": params["controlnet"]},
+                xb, cb, tb, context, pooled, add_time_ids,
+            )
+            active = (
+                (step_frac >= controlnet_start) & (step_frac <= controlnet_end)
+            ).astype(jnp.float32)
+            scale = controlnet_scale * active
+            down_res = [r * scale for r in down_res]
+            mid_res = mid_res * scale
+
+            eps = self.unet.apply(
+                {"params": params["unet"]},
+                xb, tb, context, pooled, add_time_ids,
+                extra_down_residuals=down_res,
+                extra_mid_residual=mid_res,
+            )
+            eps_u, eps_c = eps[0:1], eps[1:2]
+            eps_mix = S.cfg_mix(eps_u, eps_c, guidance_scale)
+            return S.eps_to_denoised(x, eps_mix, sigma)
+
+        inpaint = S.InpaintSpec(
+            init_latent=init_latent,
+            latent_mask=jnp.where(use_mask, latent_mask, jnp.ones_like(latent_mask)),
+        )
+        final = S.sample_euler_ancestral(
+            k_sample, denoised_fn, init_latent, sigmas, inpaint
+        )
+        decoded = self.vae.apply(
+            {"params": params["vae"]}, final, method="decode"
+        )
+        return (decoded[0] + 1.0) / 2.0
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel sharding
+# ---------------------------------------------------------------------------
+
+
+def tensor_parallel_pspecs(params: Dict[str, Any], axis: str = "tensor"):
+    """PartitionSpec tree for megatron-style TP of the UNet/ControlNet:
+    column-shard q/k/v and FF-in projections, row-shard the output
+    projections (XLA inserts the psum over ICI)."""
+    from jax.sharding import PartitionSpec as P
+
+    def spec_for(path: Tuple[str, ...], leaf) -> "P":
+        names = [getattr(p, "key", str(p)) for p in path]
+        joined = "/".join(names)
+        if leaf.ndim >= 2:
+            if any(k in joined for k in ("to_q", "to_k", "to_v")):
+                return P(*([None] * (leaf.ndim - 1) + [axis]))  # column
+            if "ff_geglu/proj" in joined:
+                return P(*([None] * (leaf.ndim - 1) + [axis]))
+            if "to_out" in joined or "ff_out" in joined:
+                return P(*([axis] + [None] * (leaf.ndim - 1)))  # row
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def _shard_params(params, mesh):
+    from jax.sharding import NamedSharding
+
+    specs = tensor_parallel_pspecs(params)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )

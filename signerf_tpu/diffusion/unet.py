@@ -1,0 +1,394 @@
+"""SDXL UNet2DConditionModel (and its ControlNet twin) in flax linen, NHWC.
+
+Topology parity with SDXL base 1.0 (the model the reference drives remotely,
+/root/reference/signerf/diffuser/diffuser.py:47 "sd_xl_base_1.0"):
+  * block_out_channels (320, 640, 1280), layers_per_block 2;
+  * down blocks: plain / cross-attn(depth 2) / cross-attn(depth 10);
+    mid: cross-attn(depth 10); up blocks mirrored with 3 resnets;
+  * attention head dim 64, cross-attention context dim 2048;
+  * "text_time" additional conditioning: pooled text embeds (1280) + six
+    micro-conditioning time_ids through 256-dim sinusoidal -> MLP -> added
+    to the timestep embedding.
+
+TPU-first: NHWC convs + big fused attention GEMMs in bf16 on the MXU. For
+multi-chip, `tensor_parallel_pspecs` (sdxl_pipeline.py) shards attention
+heads / FF channels over the mesh's "tensor" axis and lets XLA insert the
+all-reduces over ICI — no hand-written collectives in the model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280)
+    layers_per_block: int = 2
+    transformer_layers: Tuple[int, ...] = (0, 2, 10)  # per down block
+    attention_head_dim: int = 64
+    cross_attention_dim: int = 2048
+    norm_groups: int = 32
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: int = 2816  # 1280 + 6*256
+    flip_sin_to_cos: bool = True
+    freq_shift: int = 0
+
+
+SDXL_UNET_CONFIG = UNetConfig()
+
+TINY_UNET_CONFIG = UNetConfig(
+    block_out_channels=(16, 32),
+    layers_per_block=1,
+    transformer_layers=(1, 1),
+    attention_head_dim=8,
+    cross_attention_dim=32,
+    norm_groups=4,
+    addition_time_embed_dim=8,
+    projection_class_embeddings_input_dim=32 + 6 * 8,
+)
+
+
+def timestep_embedding(
+    t: jnp.ndarray, dim: int, flip_sin_to_cos: bool = True, shift: int = 0
+) -> jnp.ndarray:
+    """Sinusoidal embedding [B] -> [B, dim] (diffusers convention)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(10000.0)
+        * jnp.arange(half, dtype=jnp.float32)
+        / (half - shift)
+    )
+    args = t.astype(jnp.float32)[..., None] * freqs[None]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], -1)
+    if dim % 2:
+        emb = jnp.pad(emb, [(0, 0), (0, 1)])
+    return emb
+
+
+def _gn(groups, name):
+    return nn.GroupNorm(num_groups=groups, epsilon=1e-5, name=name, dtype=jnp.float32)
+
+
+class ResnetBlock2D(nn.Module):
+    out_ch: int
+    groups: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, temb):
+        h = _gn(self.groups, "norm1")(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv1")(h)
+        t = nn.Dense(self.out_ch, dtype=self.dtype, name="time_emb_proj")(
+            nn.silu(temb)
+        )
+        h = h + t[:, None, None, :]
+        h = _gn(self.groups, "norm2")(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        if x.shape[-1] != self.out_ch:
+            x = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class CrossAttention(nn.Module):
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        context = x if context is None else context
+        inner = self.num_heads * self.head_dim
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(context)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(context)
+        b, sq, _ = q.shape
+        sk = k.shape[1]
+        q = q.reshape(b, sq, self.num_heads, self.head_dim)
+        k = k.reshape(b, sk, self.num_heads, self.head_dim)
+        v = v.reshape(b, sk, self.num_heads, self.head_dim)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.head_dim)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, sq, inner)
+        return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLU(nn.Module):
+    dim_out: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        return h * jax.nn.gelu(gate)
+
+
+class BasicTransformerBlock(nn.Module):
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context):
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        x = x + CrossAttention(
+            self.num_heads, self.head_dim, self.dtype, name="attn1"
+        )(h)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        x = x + CrossAttention(
+            self.num_heads, self.head_dim, self.dtype, name="attn2"
+        )(h, context)
+        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x)
+        h = GEGLU(x.shape[-1] * 4, self.dtype, name="ff_geglu")(h)
+        h = nn.Dense(x.shape[-1], dtype=self.dtype, name="ff_out")(h)
+        return x + h
+
+
+class Transformer2D(nn.Module):
+    depth: int
+    num_heads: int
+    head_dim: int
+    groups: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, context):
+        b, h, w, c = x.shape
+        res = x
+        y = _gn(self.groups, "norm")(x)
+        y = nn.Dense(c, dtype=self.dtype, name="proj_in")(y.reshape(b, h * w, c))
+        for i in range(self.depth):
+            y = BasicTransformerBlock(
+                self.num_heads, self.head_dim, self.dtype, name=f"blocks_{i}"
+            )(y, context)
+        y = nn.Dense(c, dtype=self.dtype, name="proj_out")(y)
+        return res + y.reshape(b, h, w, c)
+
+
+class UNetCore(nn.Module):
+    """Shared encoder(+mid) trunk used by both the UNet and ControlNet.
+
+    Returns (down_residuals, mid_hidden, temb) when `encoder_only`, else the
+    final eps prediction. `extra_residuals` (from ControlNet) are added to
+    the skip connections before the up path.
+    """
+
+    config: UNetConfig
+    encoder_only: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,  # [B, H, W, C_in]
+        timesteps: jnp.ndarray,  # [B]
+        context: jnp.ndarray,  # [B, S, cross_dim]
+        add_text_embeds: jnp.ndarray,  # [B, pooled_dim]
+        add_time_ids: jnp.ndarray,  # [B, 6]
+        extra_down_residuals: Optional[Sequence[jnp.ndarray]] = None,
+        extra_mid_residual: Optional[jnp.ndarray] = None,
+        conditioning: Optional[jnp.ndarray] = None,  # ControlNet cond stem out
+    ):
+        cfg = self.config
+        chans = cfg.block_out_channels
+        time_dim = chans[0] * 4
+
+        # --- time + added conditioning embedding ("text_time") ---
+        temb = timestep_embedding(
+            timesteps, chans[0], cfg.flip_sin_to_cos, cfg.freq_shift
+        )
+        temb = nn.Dense(time_dim, dtype=self.dtype, name="time_embed_1")(
+            temb.astype(self.dtype)
+        )
+        temb = nn.Dense(time_dim, dtype=self.dtype, name="time_embed_2")(
+            nn.silu(temb)
+        )
+        tids = timestep_embedding(
+            add_time_ids.reshape(-1), cfg.addition_time_embed_dim,
+            cfg.flip_sin_to_cos, cfg.freq_shift,
+        ).reshape(add_time_ids.shape[0], -1)
+        add = jnp.concatenate(
+            [add_text_embeds.astype(jnp.float32), tids], axis=-1
+        ).astype(self.dtype)
+        add = nn.Dense(time_dim, dtype=self.dtype, name="add_embed_1")(add)
+        add = nn.Dense(time_dim, dtype=self.dtype, name="add_embed_2")(
+            nn.silu(add)
+        )
+        temb = temb + add
+
+        context = context.astype(self.dtype)
+
+        # --- down path ---
+        h = nn.Conv(chans[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(
+            sample.astype(self.dtype)
+        )
+        if conditioning is not None:
+            h = h + conditioning
+        residuals = [h]
+        for i, ch in enumerate(chans):
+            depth = cfg.transformer_layers[i]
+            heads = ch // cfg.attention_head_dim
+            for j in range(cfg.layers_per_block):
+                h = ResnetBlock2D(
+                    ch, cfg.norm_groups, self.dtype, name=f"down_{i}_res_{j}"
+                )(h, temb)
+                if depth > 0:
+                    h = Transformer2D(
+                        depth, heads, cfg.attention_head_dim, cfg.norm_groups,
+                        self.dtype, name=f"down_{i}_attn_{j}",
+                    )(h, context)
+                residuals.append(h)
+            if i < len(chans) - 1:
+                h = nn.Conv(
+                    ch, (3, 3), strides=(2, 2), padding=1,
+                    dtype=self.dtype, name=f"down_{i}_downsample",
+                )(h)
+                residuals.append(h)
+
+        # --- mid ---
+        mid_depth = cfg.transformer_layers[-1]
+        mid_heads = chans[-1] // cfg.attention_head_dim
+        h = ResnetBlock2D(
+            chans[-1], cfg.norm_groups, self.dtype, name="mid_res_1"
+        )(h, temb)
+        if mid_depth > 0:
+            h = Transformer2D(
+                mid_depth, mid_heads, cfg.attention_head_dim, cfg.norm_groups,
+                self.dtype, name="mid_attn",
+            )(h, context)
+        h = ResnetBlock2D(
+            chans[-1], cfg.norm_groups, self.dtype, name="mid_res_2"
+        )(h, temb)
+
+        if self.encoder_only:
+            return residuals, h, temb
+
+        if extra_mid_residual is not None:
+            h = h + extra_mid_residual
+        if extra_down_residuals is not None:
+            residuals = [
+                r + e for r, e in zip(residuals, extra_down_residuals)
+            ]
+
+        # --- up path (mirrored, layers_per_block + 1 resnets) ---
+        for i, ch in enumerate(reversed(chans)):
+            block_idx = len(chans) - 1 - i
+            depth = cfg.transformer_layers[block_idx]
+            heads = ch // cfg.attention_head_dim
+            for j in range(cfg.layers_per_block + 1):
+                res = residuals.pop()
+                h = jnp.concatenate([h, res], axis=-1)
+                h = ResnetBlock2D(
+                    ch, cfg.norm_groups, self.dtype, name=f"up_{i}_res_{j}"
+                )(h, temb)
+                if depth > 0:
+                    h = Transformer2D(
+                        depth, heads, cfg.attention_head_dim, cfg.norm_groups,
+                        self.dtype, name=f"up_{i}_attn_{j}",
+                    )(h, context)
+            if i < len(chans) - 1:
+                b, hh, ww, c = h.shape
+                h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
+                h = nn.Conv(
+                    c, (3, 3), padding=1, dtype=self.dtype, name=f"up_{i}_upsample"
+                )(h)
+
+        h = _gn(cfg.norm_groups, "conv_norm_out")(h)
+        h = nn.silu(h)
+        return nn.Conv(
+            cfg.out_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
+        )(h).astype(jnp.float32)
+
+
+class UNet2DConditionModel(nn.Module):
+    config: UNetConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        sample,
+        timesteps,
+        context,
+        add_text_embeds,
+        add_time_ids,
+        extra_down_residuals=None,
+        extra_mid_residual=None,
+    ):
+        return UNetCore(self.config, False, self.dtype, name="core")(
+            sample,
+            timesteps,
+            context,
+            add_text_embeds,
+            add_time_ids,
+            extra_down_residuals,
+            extra_mid_residual,
+        )
+
+
+class ControlNet(nn.Module):
+    """ControlNet-depth: UNet encoder copy + conditioning stem + zero convs.
+
+    Outputs (down_residuals, mid_residual), each already scaled by
+    `conditioning_scale` at call sites.
+    """
+
+    config: UNetConfig
+    cond_downscale_steps: int = 3  # pixel->latent factor = 2^steps (SDXL: 8)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        sample,  # [B, h, w, C_lat]
+        cond_image,  # [B, H, W, C_cond] pixel-space condition (depth map)
+        timesteps,
+        context,
+        add_text_embeds,
+        add_time_ids,
+    ):
+        cfg = self.config
+        # conditioning stem: 3x3 convs striding down to latent resolution
+        c = cond_image.astype(self.dtype)
+        stem_chans = (16, 32, 96, 256)
+        c = nn.Conv(stem_chans[0], (3, 3), padding=1, dtype=self.dtype, name="stem_in")(c)
+        c = nn.silu(c)
+        for i in range(self.cond_downscale_steps):
+            ch = stem_chans[min(i + 1, len(stem_chans) - 1)]
+            c = nn.Conv(
+                ch, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
+                name=f"stem_down_{i}",
+            )(c)
+            c = nn.silu(c)
+        cond = nn.Conv(
+            cfg.block_out_channels[0], (3, 3), padding=1,
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+            dtype=self.dtype, name="stem_out",
+        )(c)
+
+        residuals, mid, _ = UNetCore(cfg, True, self.dtype, name="core")(
+            sample, timesteps, context, add_text_embeds, add_time_ids,
+            conditioning=cond,
+        )
+        zero = lambda ch, name: nn.Conv(
+            ch, (1, 1), kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros, dtype=self.dtype, name=name,
+        )
+        down_out = [
+            zero(r.shape[-1], f"zero_conv_{i}")(r)
+            for i, r in enumerate(residuals)
+        ]
+        mid_out = zero(mid.shape[-1], "zero_conv_mid")(mid)
+        return down_out, mid_out

@@ -124,16 +124,36 @@ class NerfactoField(nn.Module):
     predict_normals: bool = False
     sh_levels: int = 4
     average_init_density: float = 1.0
+    # "factor" = MXU factorized grid (TPU-fast default, ops/factor_grid.py);
+    # "hash" = instant-ngp semantics-parity path (gather-bound on TPU).
+    encoding_backend: str = "factor"
+    factor_features_per_level: int = 16
+    factor_num_levels: int = 8
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     def setup(self):
-        self.encoding = HashGridEncoding(
-            num_levels=self.num_levels,
-            features_per_level=self.features_per_level,
-            log2_hashmap_size=self.log2_hashmap_size,
-            base_res=self.base_res,
-            max_res=self.max_res,
-        )
+        if self.encoding_backend == "factor":
+            from signerf_tpu.ops.factor_grid import (
+                FactorGridConfig,
+                FactorGridEncoding,
+            )
+
+            self.encoding = FactorGridEncoding(
+                FactorGridConfig(
+                    num_levels=self.factor_num_levels,
+                    base_res=self.base_res,
+                    max_res=self.max_res,
+                    features_per_level=self.factor_features_per_level,
+                )
+            )
+        else:
+            self.encoding = HashGridEncoding(
+                num_levels=self.num_levels,
+                features_per_level=self.features_per_level,
+                log2_hashmap_size=self.log2_hashmap_size,
+                base_res=self.base_res,
+                max_res=self.max_res,
+            )
         self.mlp_base = MLP(
             hidden_dim=self.hidden_dim,
             num_layers=2,
@@ -215,18 +235,35 @@ class HashMLPDensityField(nn.Module):
     max_res: int = 128
     hidden_dim: int = 16
     use_linear: bool = False
+    encoding_backend: str = "factor"
+    factor_features_per_level: int = 8
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, positions: jnp.ndarray) -> jnp.ndarray:
         pos01 = contract_to_unit(positions)
-        feats = HashGridEncoding(
-            num_levels=self.num_levels,
-            features_per_level=self.features_per_level,
-            log2_hashmap_size=self.log2_hashmap_size,
-            base_res=self.base_res,
-            max_res=self.max_res,
-        )(pos01)
+        if self.encoding_backend == "factor":
+            from signerf_tpu.ops.factor_grid import (
+                FactorGridConfig,
+                FactorGridEncoding,
+            )
+
+            feats = FactorGridEncoding(
+                FactorGridConfig(
+                    num_levels=self.num_levels,
+                    base_res=self.base_res,
+                    max_res=self.max_res,
+                    features_per_level=self.factor_features_per_level,
+                )
+            )(pos01)
+        else:
+            feats = HashGridEncoding(
+                num_levels=self.num_levels,
+                features_per_level=self.features_per_level,
+                log2_hashmap_size=self.log2_hashmap_size,
+                base_res=self.base_res,
+                max_res=self.max_res,
+            )(pos01)
         if self.use_linear:
             h = nn.Dense(1, dtype=self.compute_dtype)(
                 feats.astype(self.compute_dtype)

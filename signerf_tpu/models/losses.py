@@ -36,20 +36,21 @@ def _outer(
         [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1
     )  # [R, S1+1]
 
-    idx_lo = (
-        jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(
-            t1_starts, t0_starts
-        )
-        - 1
-    )
-    idx_lo = jnp.clip(idx_lo, 0, t1_starts.shape[-1] - 1)
-    idx_hi = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="left"))(
-        t1_ends, t0_ends
-    )
-    idx_hi = jnp.clip(idx_hi, 0, t1_ends.shape[-1] - 1)
-
-    cy1_lo = jnp.take_along_axis(cy1, idx_lo, axis=-1)
-    cy1_hi = jnp.take_along_axis(cy1, idx_hi + 1, axis=-1)
+    # Monotone-lookup as masked reductions instead of searchsorted +
+    # take_along_axis (per-row gathers are the TPU bottleneck — see
+    # samplers.sample_pdf_bins for the same rewrite). cy1 is nondecreasing:
+    #   lo: last t1_start <= t0_start  -> max of masked cy1[:-1]
+    #   hi: first t1_end  >= t0_end    -> min of masked cy1[1:]
+    inf = jnp.inf
+    le = t1_starts[..., None, :] <= t0_starts[..., :, None]  # [R, S0, S1]
+    ge = t1_ends[..., None, :] >= t0_ends[..., :, None]
+    cy_lo_e = cy1[..., None, :-1]
+    cy_hi_e = cy1[..., None, 1:]
+    cy1_lo = jnp.max(jnp.where(le, cy_lo_e, -inf), axis=-1)
+    cy1_hi = jnp.min(jnp.where(ge, cy_hi_e, inf), axis=-1)
+    # clip semantics of the searchsorted formulation at the boundaries
+    cy1_lo = jnp.where(jnp.isfinite(cy1_lo), cy1_lo, cy1[..., :1])
+    cy1_hi = jnp.where(jnp.isfinite(cy1_hi), cy1_hi, cy1[..., -1:])
     return cy1_hi - cy1_lo
 
 

@@ -60,6 +60,10 @@ class NerfactoModelConfig:
     appearance_embed_dim: int = 32
     use_appearance_embedding: bool = True
     average_init_density: float = 1.0
+    # spatial encoding backend: "factor" (MXU-native, TPU default) or
+    # "hash" (instant-ngp parity; gather-bound on TPU) — see
+    # ops/factor_grid.py for the measured rationale.
+    encoding_backend: str = "factor"
     num_proposal_samples_per_ray: Tuple[int, ...] = (256, 96)
     num_nerf_samples_per_ray: int = 48
     proposal_update_every: int = 5
@@ -105,6 +109,7 @@ class NerfactoModel:
             use_appearance_embedding=config.use_appearance_embedding,
             predict_normals=config.predict_normals,
             average_init_density=config.average_init_density,
+            encoding_backend=config.encoding_backend,
         )
         self.proposal_fields = []
         n_props = config.num_proposal_iterations
@@ -121,6 +126,7 @@ class NerfactoModel:
                     max_res=args.max_res,
                     hidden_dim=args.hidden_dim,
                     use_linear=args.use_linear,
+                    encoding_backend=config.encoding_backend,
                 )
             )
 

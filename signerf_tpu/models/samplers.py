@@ -115,21 +115,33 @@ def sample_pdf_bins(
         u = jnp.linspace(0.0, 1.0 - (1.0 / s), s)[None, :] + 0.5 / s
         u = jnp.broadcast_to(u, (num_rays, s))
 
-    # searchsorted per ray: idx of first cdf edge >= u
-    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
-    below = jnp.clip(idx - 1, 0, cdf.shape[-1] - 1)
-    above = jnp.clip(idx, 0, cdf.shape[-1] - 1)
-
-    cdf_b = jnp.take_along_axis(cdf, below, axis=-1)
-    cdf_a = jnp.take_along_axis(cdf, above, axis=-1)
-    bins_b = jnp.take_along_axis(spacing_bins, below, axis=-1)
-    bins_a = jnp.take_along_axis(spacing_bins, above, axis=-1)
+    # Inverse-CDF lookup WITHOUT searchsorted/take_along_axis: per-row
+    # gathers run at ~50-90M rows/s on TPU and dominated the whole render
+    # (measured). Since cdf and bins are both nondecreasing along S, the
+    # bracketing values are masked reductions over a broadcast compare —
+    # pure VPU work that XLA fuses without materializing [R, Q, S].
+    inf = jnp.inf
+    le = cdf[:, None, :] <= u[:, :, None]  # [R, Q, S+1]
+    ge = cdf[:, None, :] >= u[:, :, None]
+    cdf_e = cdf[:, None, :]
+    bins_e = spacing_bins[:, None, :]
+    cdf_b = jnp.max(jnp.where(le, cdf_e, -inf), axis=-1)
+    bins_b = jnp.max(jnp.where(le, bins_e, -inf), axis=-1)
+    cdf_a = jnp.min(jnp.where(ge, cdf_e, inf), axis=-1)
+    bins_a = jnp.min(jnp.where(ge, bins_e, inf), axis=-1)
+    # Out-of-range fallbacks (u below cdf[0] / above cdf[-1]).
+    cdf_b = jnp.where(jnp.isfinite(cdf_b), cdf_b, cdf[:, :1])
+    bins_b = jnp.where(jnp.isfinite(bins_b), bins_b, spacing_bins[:, :1])
+    cdf_a = jnp.where(jnp.isfinite(cdf_a), cdf_a, cdf[:, -1:])
+    bins_a = jnp.where(jnp.isfinite(bins_a), bins_a, spacing_bins[:, -1:])
 
     denom = jnp.where(cdf_a - cdf_b < 1e-10, 1.0, cdf_a - cdf_b)
     t = jnp.clip((u - cdf_b) / denom, 0.0, 1.0)
     new_bins = bins_b + t * (bins_a - bins_b)
-    # Enforce monotonicity (numerical safety for downstream deltas).
-    new_bins = jnp.sort(new_bins, axis=-1)
+    # u and cdf are both ascending, so new_bins is ascending up to float
+    # rounding; a running cummax restores strict monotonicity without the
+    # O(S log^2 S) bitonic jnp.sort this used to do.
+    new_bins = jax.lax.cummax(new_bins, axis=new_bins.ndim - 1)
     return new_bins
 
 

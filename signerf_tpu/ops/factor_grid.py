@@ -1,0 +1,146 @@
+"""Factorized multiresolution grid encoding — the TPU-native spatial encoding.
+
+WHY THIS EXISTS (measured, not guessed): instant-ngp-style hash grids are
+gather-bound. On TPU, XLA's dense gather sustains only ~50-90M rows/s and
+Mosaic's `tpu.dynamic_gather` is an intra-vreg shuffle (<=8-deep), so a
+hash-grid nerfacto renders at ~5k rays/s/chip — two orders below the
+reference GPU baseline. TPUs want matmuls, so this encoding replaces table
+lookups with **dense interpolation-matrix products**:
+
+    hat(u)[n, j] = relu(1 - |u_n - j|)          # [N, R] 2-banded rows
+    axis_feat    = hat(u) @ line                # [N, R] @ [R, F] on the MXU
+    level_feat   = hat_x@Lx * hat_y@Ly * hat_z@Lz   # CP (rank-F) product
+
+i.e. a multiresolution CP (TensoRF-style) decomposition evaluated entirely
+as MXU GEMMs. The backward is also GEMMs (hat^T @ grad) — no scatter-add.
+Optionally adds VM plane terms (plane[yz] interp * line[x]) for
+mid-frequency expressiveness; plane interpolation is a two-step contraction
+(hat_x @ plane.reshape(Rx, Ry*F), then a row-wise hat_y reduction).
+
+Line/plane parameters are tiny (KBs-MBs), live happily in VMEM, and shard/
+replicate trivially. Capability parity target is nerfstudio's HashEncoding
+inside `NerfactoField` (SURVEY.md §2b); `signerf_tpu/ops/hashgrid.py`
+remains available as the semantics-parity backend.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class FactorGridConfig:
+    num_levels: int = 8
+    base_res: int = 16
+    max_res: int = 1024
+    features_per_level: int = 16
+    include_planes: bool = False
+    plane_res: int = 128
+    plane_features: int = 8
+    compute_dtype: str = "bfloat16"
+
+    @property
+    def resolutions(self) -> Tuple[int, ...]:
+        if self.num_levels == 1:
+            return (self.base_res,)
+        g = math.exp(
+            (math.log(self.max_res) - math.log(self.base_res))
+            / (self.num_levels - 1)
+        )
+        return tuple(
+            int(round(self.base_res * g**l)) for l in range(self.num_levels)
+        )
+
+    @property
+    def out_dim(self) -> int:
+        d = self.num_levels * self.features_per_level
+        if self.include_planes:
+            d += 3 * self.plane_features
+        return d
+
+
+def hat_matrix(u: jnp.ndarray, res: int, dtype) -> jnp.ndarray:
+    """[N] coords in [0, 1] -> [N, res] linear-interpolation rows.
+
+    Row n has at most two nonzeros: (1-frac) at floor(u*(res-1)) and frac at
+    floor+1 — multiplying by a line table of shape [res, F] IS linear
+    interpolation.
+    """
+    x = jnp.clip(u, 0.0, 1.0) * (res - 1)
+    j = jnp.arange(res, dtype=x.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - j[None, :])).astype(dtype)
+
+
+def cp_level_features(
+    x01: jnp.ndarray,  # [N, 3] in [0,1]
+    lines: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],  # each [R, F]
+    dtype,
+) -> jnp.ndarray:
+    res = lines[0].shape[0]
+    fx = hat_matrix(x01[:, 0], res, dtype) @ lines[0].astype(dtype)
+    fy = hat_matrix(x01[:, 1], res, dtype) @ lines[1].astype(dtype)
+    fz = hat_matrix(x01[:, 2], res, dtype) @ lines[2].astype(dtype)
+    return fx * fy * fz  # [N, F]
+
+
+def plane_features(
+    x01: jnp.ndarray,  # [N, 3]
+    plane: jnp.ndarray,  # [R, R, F]
+    axes: Tuple[int, int],
+    dtype,
+) -> jnp.ndarray:
+    """Bilinear interp on a 2D plane spanning `axes`, as two contractions."""
+    r, _, f = plane.shape
+    ha = hat_matrix(x01[:, axes[0]], r, dtype)  # [N, R]
+    hb = hat_matrix(x01[:, axes[1]], r, dtype)  # [N, R]
+    t1 = ha @ plane.reshape(r, r * f).astype(dtype)  # [N, R*F] (MXU)
+    t1 = t1.reshape(-1, r, f)
+    return jnp.einsum("nr,nrf->nf", hb, t1)  # row-wise reduce (VPU)
+
+
+class FactorGridEncoding(nn.Module):
+    """Learned factorized encoding; drop-in alternative to HashGridEncoding."""
+
+    config: FactorGridConfig = FactorGridConfig()
+
+    @nn.compact
+    def __call__(self, positions01: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        batch_shape = positions01.shape[:-1]
+        x = positions01.reshape(-1, 3)
+        x = jnp.clip(x, 0.0, 1.0)
+
+        feats = []
+        for lvl, res in enumerate(cfg.resolutions):
+            lines = [
+                self.param(
+                    f"line_{lvl}_{ax}",
+                    # scale ~1 so the rank-F *product* of three lines starts
+                    # near instant-ngp's small-feature regime
+                    nn.initializers.normal(0.2),
+                    (res, cfg.features_per_level),
+                )
+                for ax in range(3)
+            ]
+            feats.append(cp_level_features(x, tuple(lines), dtype))
+        if cfg.include_planes:
+            for axes in [(0, 1), (0, 2), (1, 2)]:
+                plane = self.param(
+                    f"plane_{axes[0]}{axes[1]}",
+                    nn.initializers.normal(0.02),
+                    (cfg.plane_res, cfg.plane_res, cfg.plane_features),
+                )
+                feats.append(plane_features(x, plane, axes, dtype))
+        out = jnp.concatenate(feats, axis=-1).astype(jnp.float32)
+        return out.reshape(*batch_shape, cfg.out_dim)
+
+    @property
+    def out_dim(self) -> int:
+        return self.config.out_dim

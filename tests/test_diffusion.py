@@ -1,0 +1,194 @@
+"""Diffusion stack tests: schedule/sampler numerics, tokenizer, tiny SDXL
+pipeline end-to-end, inpaint semantics, TP pspecs (SURVEY.md §7.4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from signerf_tpu.diffusion import sampler as S
+from signerf_tpu.diffusion.sdxl_pipeline import (
+    TINY_SDXL_CONFIG,
+    SDXLInpaintPipeline,
+    tensor_parallel_pspecs,
+)
+from signerf_tpu.diffusion.tokenizer import BOS, EOS, MAX_LEN, HashTokenizer
+
+
+class TestSchedule:
+    def test_sigma_range(self):
+        sig = S.make_sd_schedule()
+        assert sig.shape == (1000,)
+        assert sig[0] < 0.1  # low noise at t=0
+        assert 10 < sig[-1] < 20  # SD discrete schedule sigma_max ~ 14.6
+        assert np.all(np.diff(sig) > 0)
+
+    def test_get_sigmas_descending_with_zero(self):
+        s = S.get_sigmas(20)
+        assert s.shape == (21,)
+        assert s[-1] == 0.0
+        assert np.all(np.diff(s[:-1]) < 0)
+        train = S.make_sd_schedule()
+        np.testing.assert_allclose(s[0], train[-1], rtol=1e-5)
+
+    def test_strength_sigmas(self):
+        s = S.get_sigmas(20)
+        sub = S.strength_sigmas(s, 0.9)
+        assert len(sub) == 19  # t_enc = 18 -> 19 entries
+        np.testing.assert_allclose(sub, s[2:])
+        assert len(S.strength_sigmas(s, 1.0)) == 21
+        assert len(S.strength_sigmas(s, 0.0)) == 1
+
+    def test_sigma_to_t_roundtrip(self):
+        train = S.make_sd_schedule()
+        for t in [10, 500, 998]:
+            got = float(S.sigma_to_t(jnp.asarray(train[t]), train))
+            assert abs(got - t) < 1e-2
+
+    def test_ancestral_step_identities(self):
+        down, up = S.get_ancestral_step(jnp.asarray(10.0), jnp.asarray(5.0))
+        # sigma_down^2 + sigma_up^2 == sigma_to^2
+        np.testing.assert_allclose(
+            float(down**2 + up**2), 25.0, rtol=1e-5
+        )
+        down0, up0 = S.get_ancestral_step(jnp.asarray(10.0), jnp.asarray(0.0))
+        assert float(up0) == 0.0 and float(down0) == 0.0
+
+
+class TestSampler:
+    def test_perfect_denoiser_recovers_target(self):
+        """If the model always predicts x0 = target, sampling lands on it."""
+        target = jnp.full((1, 4, 4, 2), 0.7)
+
+        def denoised_fn(x, sigma, frac):
+            return target
+
+        sigmas = jnp.asarray(S.get_sigmas(10))
+        out = S.sample_euler_ancestral(
+            jax.random.PRNGKey(0), denoised_fn, jnp.zeros_like(target), sigmas
+        )
+        np.testing.assert_allclose(np.asarray(out), 0.7, atol=1e-4)
+
+    def test_inpaint_keeps_unmasked(self):
+        target = jnp.zeros((1, 4, 4, 1))
+        init = jnp.full((1, 4, 4, 1), 0.5)
+        mask = jnp.zeros((1, 4, 4, 1)).at[:, :2].set(1.0)  # top half editable
+
+        def denoised_fn(x, sigma, frac):
+            return target
+
+        sigmas = jnp.asarray(S.get_sigmas(10))
+        out = S.sample_euler_ancestral(
+            jax.random.PRNGKey(0),
+            denoised_fn,
+            init,
+            sigmas,
+            S.InpaintSpec(init_latent=init, latent_mask=mask),
+        )
+        np.testing.assert_allclose(np.asarray(out[:, 2:]), 0.5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out[:, :2]), 0.0, atol=1e-4)
+
+    def test_cfg_mix(self):
+        u = jnp.zeros((2,))
+        c = jnp.ones((2,))
+        np.testing.assert_allclose(np.asarray(S.cfg_mix(u, c, 7.0)), 7.0)
+        np.testing.assert_allclose(np.asarray(S.cfg_mix(u, c, 1.0)), 1.0)
+
+    def test_gaussian_blur_mass_preserving(self):
+        m = jnp.zeros((16, 16, 1)).at[8, 8].set(1.0)
+        b = S.gaussian_blur(m, 4)
+        np.testing.assert_allclose(float(b.sum()), 1.0, rtol=1e-3)
+        assert float(b.max()) < 1.0
+
+    def test_fill_mode_mean(self):
+        img = jnp.ones((4, 4, 3)).at[0, 0].set(0.0)
+        mask = jnp.zeros((4, 4, 1)).at[0, 0].set(1.0)
+        out = S.apply_fill_mode(img, mask, 0)
+        np.testing.assert_allclose(np.asarray(out[0, 0]), 1.0, atol=1e-6)
+
+
+class TestTokenizer:
+    def test_hash_tokenizer_shape_and_determinism(self):
+        tok = HashTokenizer()
+        ids = tok("a red bear statue")
+        assert ids.shape == (MAX_LEN,)
+        assert ids[0] == BOS
+        assert EOS in ids
+        np.testing.assert_array_equal(ids, tok("a red bear statue"))
+        assert not np.array_equal(ids, tok("a blue dog"))
+
+
+class TestTinyPipeline:
+    @pytest.fixture(scope="class")
+    def pipe(self):
+        return SDXLInpaintPipeline.create(config=TINY_SDXL_CONFIG)
+
+    def test_img2img_runs_and_shapes(self, pipe):
+        img = np.random.RandomState(0).rand(16, 16, 3).astype(np.float32)
+        out = pipe.img2img(img, "test prompt", num_steps=3, strength=0.9)
+        assert out.shape == (16, 16, 3)
+        assert np.isfinite(out).all()
+        assert out.min() >= 0.0 and out.max() <= 1.0
+
+    def test_inpaint_mask_and_control(self, pipe):
+        img = np.full((16, 16, 3), 0.5, np.float32)
+        mask = np.zeros((16, 16, 1), np.float32)
+        mask[:8] = 1.0
+        cond = np.random.RandomState(1).rand(16, 16, 1).astype(np.float32)
+        out = pipe.img2img(
+            img, "edit", mask=mask, control_image=cond, num_steps=3,
+            mask_blur=0,
+        )
+        assert out.shape == (16, 16, 3)
+        assert np.isfinite(out).all()
+
+    def test_seed_determinism(self, pipe):
+        img = np.random.RandomState(0).rand(16, 16, 3).astype(np.float32)
+        a = pipe.img2img(img, "p", num_steps=2, seed=7)
+        b = pipe.img2img(img, "p", num_steps=2, seed=7)
+        c = pipe.img2img(img, "p", num_steps=2, seed=8)
+        np.testing.assert_array_equal(a, b)
+        assert not np.array_equal(a, c)
+
+    def test_prompt_encoding_shapes(self, pipe):
+        ctx, pooled = pipe.encode_prompt("hello", "bad")
+        assert ctx.shape == (2, 77, 32)  # 16 + 16 concat
+        assert pooled.shape == (2, 16)
+
+    def test_diffuser_integration(self, pipe):
+        """Diffuser(jax_sdxl) drives the pipeline through its knobs."""
+        from signerf_tpu.diffusion.diffuser import Diffuser, DiffuserConfig
+
+        d = Diffuser(DiffuserConfig(mode="jax_sdxl", num_inference_steps=2))
+        d._sdxl = pipe  # inject tiny pipeline
+        img = np.full((16, 16, 3), 0.5, np.float32)
+        out = d.diffuse(img, img, np.ones((16, 16, 1), np.float32) * 0.0 + 1.0,
+                        np.zeros((16, 16, 1), np.float32))
+        assert out.shape == (16, 16, 3)
+
+
+class TestTensorParallel:
+    def test_pspecs_shard_attention(self):
+        pipe = SDXLInpaintPipeline.create(config=TINY_SDXL_CONFIG)
+        specs = tensor_parallel_pspecs(pipe.params)
+        flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+        sharded = [
+            "/".join(getattr(p, "key", str(p)) for p in path)
+            for path, spec in flat
+            if any(s is not None for s in spec)
+        ]
+        assert any("to_q" in s for s in sharded)
+        assert any("to_out" in s for s in sharded)
+        assert any("ff_geglu" in s for s in sharded)
+
+    def test_sharded_pipeline_runs_on_mesh(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from signerf_tpu.parallel import get_mesh
+
+        mesh = get_mesh(8, axis_names=("tensor",))
+        pipe = SDXLInpaintPipeline.create(config=TINY_SDXL_CONFIG, mesh=mesh)
+        img = np.full((16, 16, 3), 0.5, np.float32)
+        with mesh:
+            out = pipe.img2img(img, "p", num_steps=2)
+        assert np.isfinite(out).all()
