@@ -249,6 +249,9 @@ class SIGNeRFTrainer:
         self.training_state = "training"
         t_start = time.time()
         while self.step < c.max_num_iterations:
+            if self.training_state == "paused":  # viewer pause button parity
+                time.sleep(0.1)
+                continue
             metrics = self.train_iteration()
             if (self.step // c.steps_per_call) % 4 == 0:
                 scalars = {k: float(v) for k, v in metrics.items()}

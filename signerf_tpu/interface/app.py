@@ -1,0 +1,252 @@
+"""Built-in web viewer: a dependency-free HTTP UI over the Generation API.
+
+Capability parity (SURVEY.md §2a "Viewer (forked)" + "Interface (GUI)"):
+the reference forks nerfstudio's viser viewer and adds a Generation tab +
+"Generate Dataset & Train" button (/root/reference/signerf/interface/
+viewer.py:55,163-165, interface.py:36). viser is not available in this
+environment, so the viewer here is a self-contained stdlib HTTP server
+(threaded, websocket-free) exposing:
+
+  GET  /            interactive page: live NeRF view (orbit controls),
+                    training stats, generation controls, preview modal
+  GET  /state       training_state / step / metrics JSON
+  GET  /render      render the current NeRF from an orbit camera (PNG)
+  POST /preview     run one reference-sheet generation, return base64 PNGs
+                    (the reference's Preview Generation modal, :817-879)
+  POST /generate    launch Generate Dataset & Train in a worker thread
+                    (the reference's waiting_train button, viewer.py:163-165)
+  POST /train       {"state": "training"|"paused"} pause/resume
+  POST /params      update generation params (prompt, steps, scales, seed)
+
+Render-vs-train throttling: renders run between train dispatches on the
+same device; the page polls at ~1 Hz and requests modest resolutions, which
+plays the role of the reference's rays-per-sec throttling loop
+(viewer.py:469-507).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from signerf_tpu.engine.writer import GLOBAL_BUFFER
+from signerf_tpu.interface.api import GenerationInterface
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>SIGNeRF-TPU</title><style>
+body{font-family:sans-serif;margin:1rem;background:#111;color:#eee}
+.row{display:flex;gap:1rem;flex-wrap:wrap}
+.card{background:#1c1c1c;padding:1rem;border-radius:8px}
+img{image-rendering:pixelated;border:1px solid #333}
+button{margin:0.2rem;padding:0.4rem 0.8rem}
+input,select{margin:0.2rem;background:#222;color:#eee;border:1px solid #444}
+</style></head><body>
+<h2>SIGNeRF-TPU viewer</h2>
+<div class="row">
+ <div class="card"><h3>Scene</h3>
+  <img id="view" width="384" height="384"/><br/>
+  yaw <input id="yaw" type="range" min="0" max="360" value="30"/>
+  pitch <input id="pitch" type="range" min="5" max="85" value="55"/>
+  radius <input id="radius" type="number" value="2.0" step="0.2" style="width:4em"/>
+ </div>
+ <div class="card"><h3>Training</h3>
+  <pre id="state">...</pre>
+  <button onclick="post('/train',{state:'training'})">Resume</button>
+  <button onclick="post('/train',{state:'paused'})">Pause</button>
+ </div>
+ <div class="card"><h3>Generation</h3>
+  prompt <input id="prompt" size="40" value=""/><br/>
+  steps <input id="steps" type="number" value="20" style="width:4em"/>
+  seed <input id="seed" type="number" value="1" style="width:4em"/>
+  cfg <input id="cfg" type="number" value="7.0" step="0.5" style="width:4em"/>
+  cn <input id="cn" type="number" value="0.8" step="0.1" style="width:4em"/><br/>
+  <button onclick="setParams()">Apply params</button>
+  <button onclick="preview()">Preview Generation</button>
+  <button onclick="post('/generate',{})">Generate Dataset &amp; Train</button>
+  <div id="preview" class="row"></div>
+ </div>
+</div>
+<script>
+async function post(u, body){await fetch(u,{method:'POST',body:JSON.stringify(body)});}
+function setParams(){post('/params',{prompt:prompt.value,num_inference_steps:+steps.value,
+  seed:+seed.value,guidance_scale:+cfg.value,controlnet_conditioning_scale:+cn.value});}
+async function preview(){
+  document.getElementById('preview').innerHTML='generating…';
+  const r = await fetch('/preview',{method:'POST'}); const d = await r.json();
+  document.getElementById('preview').innerHTML = Object.entries(d).map(
+    ([k,v])=>`<div>${k}<br/><img width="256" src="data:image/png;base64,${v}"/></div>`).join('');
+}
+async function tick(){
+  const s = await (await fetch('/state')).json();
+  document.getElementById('state').textContent = JSON.stringify(s,null,1);
+  document.getElementById('view').src = '/render?yaw='+yaw.value+'&pitch='+pitch.value+
+    '&radius='+radius.value+'&t='+Date.now();
+  setTimeout(tick, 1200);
+}
+tick();
+</script></body></html>"""
+
+
+class ViewerServer:
+    def __init__(self, interface: GenerationInterface, port: int = 7007):
+        self.interface = interface
+        self.port = port
+        self._worker: Optional[threading.Thread] = None
+
+    # ------------------------------------------------------------------
+
+    def _render_view(self, yaw: float, pitch: float, radius: float, size: int = 128):
+        import jax.numpy as jnp
+
+        from signerf_tpu.cameras.cameras import Cameras
+        from signerf_tpu.cameras.poses import circle_poses
+
+        trainer = self.interface.trainer
+        pose = np.asarray(
+            circle_poses(1, radius=radius, theta=pitch, phi=(yaw, yaw))
+        )[:, :3, :]
+        cams = Cameras(
+            camera_to_worlds=jnp.asarray(pose),
+            fx=jnp.full((1,), size * 1.2),
+            fy=jnp.full((1,), size * 1.2),
+            cx=jnp.full((1,), size / 2),
+            cy=jnp.full((1,), size / 2),
+            width=size,
+            height=size,
+        )
+        pipeline = trainer.pipeline
+        params = trainer.state.params if trainer.state is not None else pipeline.params
+        rb = cams.generate_rays(camera_index=0)
+        out = pipeline._render(params, rb.reshape((size * size,)))
+        return np.asarray(out["rgb"]).reshape(size, size, 3)
+
+    def _png(self, arr: np.ndarray) -> bytes:
+        from signerf_tpu.utils.images import array_to_image
+
+        buf = io.BytesIO()
+        array_to_image(arr).save(buf, format="PNG")
+        return buf.getvalue()
+
+    # ------------------------------------------------------------------
+
+    def make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):
+                pass
+
+            def _json(self, obj, code=200):
+                data = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+
+            def do_GET(self):
+                url = urlparse(self.path)
+                if url.path == "/":
+                    data = _PAGE.encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html")
+                    self.send_header("Content-Length", str(len(data)))
+                    self.end_headers()
+                    self.wfile.write(data)
+                elif url.path == "/state":
+                    t = server.interface.trainer
+                    self._json(
+                        {
+                            "training_state": t.training_state,
+                            "step": t.step,
+                            "metrics": {
+                                k: round(v, 4) for k, v in GLOBAL_BUFFER.items()
+                            },
+                        }
+                    )
+                elif url.path == "/render":
+                    q = parse_qs(url.query)
+                    try:
+                        img = server._render_view(
+                            float(q.get("yaw", ["30"])[0]),
+                            float(q.get("pitch", ["55"])[0]),
+                            float(q.get("radius", ["2.0"])[0]),
+                        )
+                        data = server._png(img)
+                        self.send_response(200)
+                        self.send_header("Content-Type", "image/png")
+                        self.send_header("Content-Length", str(len(data)))
+                        self.end_headers()
+                        self.wfile.write(data)
+                    except Exception as exc:  # render races dataset swaps
+                        self._json({"error": str(exc)}, 500)
+                else:
+                    self._json({"error": "not found"}, 404)
+
+            def do_POST(self):
+                url = urlparse(self.path)
+                length = int(self.headers.get("Content-Length", 0) or 0)
+                body = {}
+                if length:
+                    try:
+                        body = json.loads(self.rfile.read(length) or b"{}")
+                    except json.JSONDecodeError:
+                        body = {}
+                if url.path == "/preview":
+                    import base64
+
+                    sheets = server.interface.preview_generation()
+                    self._json(
+                        {
+                            k: base64.b64encode(server._png(v)).decode()
+                            for k, v in sheets.items()
+                        }
+                    )
+                elif url.path == "/generate":
+                    if server._worker is None or not server._worker.is_alive():
+                        server._worker = threading.Thread(
+                            target=server.interface.generate_and_train,
+                            daemon=True,
+                        )
+                        server._worker.start()
+                        self._json({"started": True})
+                    else:
+                        self._json({"started": False, "reason": "busy"})
+                elif url.path == "/train":
+                    state = body.get("state", "training")
+                    server.interface.trainer.training_state = state
+                    self._json({"training_state": state})
+                elif url.path == "/params":
+                    server.interface.set_generation_params(**body)
+                    self._json({"ok": True})
+                else:
+                    self._json({"error": "not found"}, 404)
+
+        return Handler
+
+    def serve_forever(self):
+        httpd = ThreadingHTTPServer(("0.0.0.0", self.port), self.make_handler())
+        print(f"[viewer] http://0.0.0.0:{self.port}")
+        httpd.serve_forever()
+
+    def start_background(self):
+        httpd = ThreadingHTTPServer(("0.0.0.0", self.port), self.make_handler())
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        print(f"[viewer] http://0.0.0.0:{self.port}")
+        return httpd
+
+
+def run_interface(trainer, port: int = 7007):
+    """Interactive mode: start the viewer, keep training paused until the
+    user clicks "Generate Dataset & Train" (reference :196-207)."""
+    interface = GenerationInterface(trainer)
+    server = ViewerServer(interface, port=port)
+    trainer.training_state = "paused"
+    server.serve_forever()
