@@ -55,7 +55,17 @@ def load_images(
     height: int,
     max_workers: int = 8,
 ) -> np.ndarray:
-    """Decode images to a [N, H, W, 3] uint8 stack (threaded)."""
+    """Decode images to a [N, H, W, 3] uint8 stack.
+
+    Prefers the native C++ threaded PNG codec (signerf_tpu/native) — GIL-free
+    decode + fused bilinear resize into one contiguous buffer; falls back to
+    a PIL thread pool for non-PNG inputs or missing toolchain."""
+    if filenames and all(str(p).lower().endswith(".png") for p in filenames):
+        from signerf_tpu.native import decode_png_batch
+
+        out = decode_png_batch(filenames, width, height)
+        if out is not None:
+            return out
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
         arrays = list(ex.map(lambda p: _load_one(p, (width, height)), filenames))
     return np.stack(arrays, axis=0)
