@@ -360,22 +360,33 @@ class ControlNet(nn.Module):
         add_time_ids,
     ):
         cfg = self.config
-        # conditioning stem: 3x3 convs striding down to latent resolution
+        # Conditioning stem — layout matches diffusers'
+        # ControlNetConditioningEmbedding exactly (conv_in 16, block pairs
+        # 16->32->96->256 with stride-2 on every second conv, zero conv_out)
+        # so pretrained ControlNet weights map 1:1. For tiny/test configs
+        # with fewer downscale steps the block list is truncated.
         c = cond_image.astype(self.dtype)
-        stem_chans = (16, 32, 96, 256)
-        c = nn.Conv(stem_chans[0], (3, 3), padding=1, dtype=self.dtype, name="stem_in")(c)
+        c = nn.Conv(16, (3, 3), padding=1, dtype=self.dtype, name="cond_conv_in")(c)
         c = nn.silu(c)
-        for i in range(self.cond_downscale_steps):
-            ch = stem_chans[min(i + 1, len(stem_chans) - 1)]
+        stem_pairs = ((16, 32), (32, 96), (96, 256))[: self.cond_downscale_steps]
+        blk = 0
+        for same_ch, next_ch in stem_pairs:
             c = nn.Conv(
-                ch, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
-                name=f"stem_down_{i}",
+                same_ch, (3, 3), padding=1, dtype=self.dtype,
+                name=f"cond_block_{blk}",
             )(c)
             c = nn.silu(c)
+            blk += 1
+            c = nn.Conv(
+                next_ch, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype,
+                name=f"cond_block_{blk}",
+            )(c)
+            c = nn.silu(c)
+            blk += 1
         cond = nn.Conv(
             cfg.block_out_channels[0], (3, 3), padding=1,
             kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
-            dtype=self.dtype, name="stem_out",
+            dtype=self.dtype, name="cond_conv_out",
         )(c)
 
         residuals, mid, _ = UNetCore(cfg, True, self.dtype, name="core")(

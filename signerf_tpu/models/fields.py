@@ -168,8 +168,17 @@ class NerfactoField(nn.Module):
             compute_dtype=self.compute_dtype,
         )
         if self.use_appearance_embedding:
+            # Small init matters: flax's default Embed init is N(0,1), which
+            # makes per-image codes dominate the color MLP input; the
+            # eval-time *mean* embedding is then far out of distribution
+            # (measured: 14.7 dB eval vs 36.5 dB with small codes on the
+            # synthetic fit). N(0, 0.01) keeps the capability and the
+            # train/eval renders consistent.
             self.appearance = nn.Embed(
-                self.num_images, self.appearance_embed_dim, name="appearance"
+                self.num_images,
+                self.appearance_embed_dim,
+                embedding_init=nn.initializers.normal(0.01),
+                name="appearance",
             )
         if self.predict_normals:
             self.mlp_pred_normals = MLP(
