@@ -119,6 +119,50 @@ class Diffuser:
             )
         raise ValueError(f"unknown diffuser mode {mode!r}")
 
+    def diffuse_batch(
+        self,
+        original_images: np.ndarray,  # [K, H, W, 3]
+        rendered_images: np.ndarray,
+        mask_images: Optional[np.ndarray] = None,  # [K, H, W, 1]
+        condition_images: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Batched edit. jax_sdxl diffuses all K images in ONE jitted call
+        (the per-view generation fast path); other modes loop."""
+        if self.config.mode == "jax_sdxl":
+            cfg = self.config
+            pipe = self._get_sdxl()
+            return np.asarray(
+                pipe.img2img(
+                    image=np.asarray(original_images),
+                    prompt=cfg.prompt,
+                    negative_prompt=cfg.negative_prompt,
+                    mask=None if mask_images is None else np.asarray(mask_images),
+                    control_image=None
+                    if condition_images is None
+                    else np.asarray(condition_images),
+                    strength=cfg.denoising_strength,
+                    num_steps=cfg.num_inference_steps,
+                    guidance_scale=cfg.guidance_scale,
+                    controlnet_scale=cfg.controlnet_conditioning_scale,
+                    controlnet_start=cfg.controlnet_conditioning_scale_start,
+                    controlnet_end=cfg.controlnet_conditioning_scale_end,
+                    seed=cfg.seed,
+                    mask_blur=cfg.mask_blur,
+                    inpainting_fill=cfg.inpainting_fill,
+                )
+            )
+        outs = []
+        for i in range(len(original_images)):
+            outs.append(
+                self.diffuse(
+                    original_images[i],
+                    rendered_images[i],
+                    None if mask_images is None else mask_images[i],
+                    None if condition_images is None else condition_images[i],
+                )
+            )
+        return np.stack(outs)
+
     # ------------------------------------------------------------------
     # in-process JAX SDXL + ControlNet
     # ------------------------------------------------------------------

@@ -180,11 +180,11 @@ class SDXLInpaintPipeline:
 
     def img2img(
         self,
-        image: np.ndarray,  # [H, W, 3] float [0, 1]
+        image: np.ndarray,  # [H, W, 3] or [K, H, W, 3] float [0, 1]
         prompt: str,
         negative_prompt: str = "",
-        mask: Optional[np.ndarray] = None,  # [H, W, 1] float, 1 = edit
-        control_image: Optional[np.ndarray] = None,  # [H, W, 1] depth cond
+        mask: Optional[np.ndarray] = None,  # [(K,) H, W, 1] float, 1 = edit
+        control_image: Optional[np.ndarray] = None,  # [(K,) H, W, 1] depth
         strength: float = 0.9,
         num_steps: int = 20,
         guidance_scale: float = 7.0,
@@ -195,28 +195,44 @@ class SDXLInpaintPipeline:
         mask_blur: int = 4,
         inpainting_fill: int = 1,
     ) -> np.ndarray:
+        """Edit one image or a whole batch in ONE jitted program.
+
+        Batched inputs (leading K) are the per-view generation fast path
+        (SURVEY.md §3.2 hot-loop note): K spliced sheets diffuse together,
+        amortizing the UNet across views.
+        """
         cfg = self.config
-        h, w = image.shape[:2]
+        single = np.ndim(image) == 3
+        img = jnp.asarray(image, jnp.float32)
+        if single:
+            img = img[None]
+        k_batch, h, w = img.shape[:3]
         f = cfg.vae_downscale
         assert h % f == 0 and w % f == 0, (
             f"image dims must be /{f} (sheet is /8-padded upstream)"
         )
 
+        def batched(x, channels):
+            if x is None:
+                return None
+            arr = jnp.asarray(x, jnp.float32)
+            if arr.ndim == 3:
+                arr = jnp.broadcast_to(arr[None], (k_batch, h, w, channels))
+            return arr
+
         sigmas_np = S.strength_sigmas(S.get_sigmas(num_steps), strength)
         context, pooled = self.encode_prompt(prompt, negative_prompt)
-        add_time_ids = jnp.asarray(
-            [[h, w, 0, 0, h, w]], jnp.float32
-        ).repeat(2, axis=0)
+        add_time_ids = jnp.asarray([[h, w, 0, 0, h, w]], jnp.float32)
 
-        img = jnp.asarray(image, jnp.float32)
-        msk = None if mask is None else jnp.asarray(mask, jnp.float32)
-        ctrl = (
-            jnp.zeros((h, w, 1), jnp.float32)
-            if control_image is None
-            else jnp.asarray(control_image, jnp.float32)
+        msk = batched(mask, 1)
+        ctrl = batched(control_image, 1)
+        if ctrl is None:
+            ctrl = jnp.zeros((k_batch, h, w, 1), jnp.float32)
+
+        key = (
+            k_batch, h, w, len(sigmas_np), msk is not None, mask_blur,
+            inpainting_fill,
         )
-
-        key = (h, w, len(sigmas_np), msk is not None, mask_blur, inpainting_fill)
         run = self._jit_cache.get(key)
         if run is None:
             # mask_blur / inpainting_fill drive python-level control flow.
@@ -225,7 +241,7 @@ class SDXLInpaintPipeline:
         out = run(
             self.params,
             img,
-            msk if msk is not None else jnp.ones((h, w, 1)),
+            msk if msk is not None else jnp.ones((k_batch, h, w, 1)),
             jnp.asarray(msk is not None),
             ctrl,
             context,
@@ -240,7 +256,8 @@ class SDXLInpaintPipeline:
             mask_blur,
             inpainting_fill,
         )
-        return np.asarray(jnp.clip(out, 0.0, 1.0))
+        out = jnp.clip(out, 0.0, 1.0)
+        return np.asarray(out[0] if single else out)
 
     # ------------------------------------------------------------------
 
@@ -265,21 +282,23 @@ class SDXLInpaintPipeline:
     ):
         cfg = self.config
         f = cfg.vae_downscale
-        h, w = image.shape[:2]
+        k_batch, h, w = image.shape[:3]
 
-        blurred = S.gaussian_blur(mask, mask_blur)
-        filled = S.apply_fill_mode(image, blurred, inpainting_fill)
+        blurred = jax.vmap(lambda m: S.gaussian_blur(m, mask_blur))(mask)
+        filled = jax.vmap(
+            lambda im, m: S.apply_fill_mode(im, m, inpainting_fill)
+        )(image, blurred)
 
         k_enc, k_fill, k_sample = jax.random.split(rng, 3)
         init_latent = self.vae.apply(
             {"params": params["vae"]},
-            (filled[None] * 2.0 - 1.0),
+            (filled * 2.0 - 1.0),
             method="encode",
-        )  # [1, h/f, w/f, C]
+        )  # [K, h/f, w/f, C]
 
         latent_mask = jax.image.resize(
-            blurred, (h // f, w // f, 1), "linear"
-        )[None]
+            blurred, (k_batch, h // f, w // f, 1), "linear"
+        )
         # fill modes 2/3: replace masked latents with noise / zeros
         if inpainting_fill == 2:
             noise = jax.random.normal(k_fill, init_latent.shape)
@@ -289,18 +308,25 @@ class SDXLInpaintPipeline:
         elif inpainting_fill == 3:
             init_latent = init_latent * (1 - latent_mask)
 
-        cond_img = control_image[None]  # [1, H, W, 1]
+        # CFG batching: [uncond x K, cond x K] along the batch axis.
+        ctx2 = jnp.concatenate(
+            [jnp.repeat(context[:1], k_batch, 0), jnp.repeat(context[1:], k_batch, 0)]
+        )
+        pooled2 = jnp.concatenate(
+            [jnp.repeat(pooled[:1], k_batch, 0), jnp.repeat(pooled[1:], k_batch, 0)]
+        )
+        tids2 = jnp.repeat(add_time_ids, 2 * k_batch, 0)
 
         def denoised_fn(x, sigma, step_frac):
             x_in = S.scale_model_input(x, sigma)
             t_cont = S.sigma_to_t(sigma, S.make_sd_schedule())
-            xb = jnp.concatenate([x_in, x_in], axis=0)  # [2, ...]
-            tb = jnp.full((2,), t_cont)
-            cb = jnp.concatenate([cond_img, cond_img], axis=0)
+            xb = jnp.concatenate([x_in, x_in], axis=0)  # [2K, ...]
+            tb = jnp.full((2 * k_batch,), t_cont)
+            cb = jnp.concatenate([control_image, control_image], axis=0)
 
             down_res, mid_res = self.controlnet.apply(
                 {"params": params["controlnet"]},
-                xb, cb, tb, context, pooled, add_time_ids,
+                xb, cb, tb, ctx2, pooled2, tids2,
             )
             active = (
                 (step_frac >= controlnet_start) & (step_frac <= controlnet_end)
@@ -311,11 +337,11 @@ class SDXLInpaintPipeline:
 
             eps = self.unet.apply(
                 {"params": params["unet"]},
-                xb, tb, context, pooled, add_time_ids,
+                xb, tb, ctx2, pooled2, tids2,
                 extra_down_residuals=down_res,
                 extra_mid_residual=mid_res,
             )
-            eps_u, eps_c = eps[0:1], eps[1:2]
+            eps_u, eps_c = eps[:k_batch], eps[k_batch:]
             eps_mix = S.cfg_mix(eps_u, eps_c, guidance_scale)
             return S.eps_to_denoised(x, eps_mix, sigma)
 
@@ -329,7 +355,7 @@ class SDXLInpaintPipeline:
         decoded = self.vae.apply(
             {"params": params["vae"]}, final, method="decode"
         )
-        return (decoded[0] + 1.0) / 2.0
+        return (decoded + 1.0) / 2.0
 
 
 # ---------------------------------------------------------------------------

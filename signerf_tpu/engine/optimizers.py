@@ -43,6 +43,12 @@ class OptimizersConfig:
     camera_opt: OptimizerGroupConfig = dataclasses.field(
         default_factory=lambda: OptimizerGroupConfig(lr=1e-15, lr_final=None)
     )
+    # Weight decay on the per-image appearance embeddings only. Without it
+    # the codes drift apart freely (nothing couples them), and eval's
+    # *mean*-embedding renders collapse (measured: 10-15 dB eval vs 34 dB
+    # train on a perfectly consistent scene). Decay keeps codes near their
+    # mean so eval/generation renders stay faithful.
+    appearance_weight_decay: float = 0.1
 
 
 def make_schedule(cfg: OptimizerGroupConfig) -> optax.Schedule:
@@ -73,15 +79,16 @@ def make_optimizer(
     cfg: OptimizersConfig, params: Dict[str, Any]
 ) -> optax.GradientTransformation:
     """Build the grouped optimizer for a nerfacto-style params dict."""
-    labels = {k: _group_of(k) for k in params.keys()}
+    import jax
 
     def label_fn(p):
-        import jax
+        def leaf_label(path, _leaf):
+            names = [getattr(x, "key", str(x)) for x in path]
+            if "appearance" in names:
+                return "appearance"
+            return _group_of(names[0])
 
-        return {
-            k: jax.tree_util.tree_map(lambda _: labels[k], v)
-            for k, v in p.items()
-        }
+        return jax.tree_util.tree_map_with_path(leaf_label, p)
 
     transforms = {
         name: optax.adam(
@@ -90,4 +97,9 @@ def make_optimizer(
         )
         for name in ("fields", "proposal_networks", "camera_opt")
     }
+    transforms["appearance"] = optax.adamw(
+        learning_rate=make_schedule(cfg.fields),
+        eps=cfg.fields.eps,
+        weight_decay=cfg.appearance_weight_decay,
+    )
     return optax.multi_transform(transforms, label_fn)

@@ -98,6 +98,11 @@ class DatasetGeneratorConfig:
     inverse_mask: bool = False
     manual_depth: Optional[Tuple[float, float]] = None
     combine_shape_with_depth: bool = False
+    generation_batch_size: int = 4
+    """Views diffused per call in the per-view loop. >1 batches K spliced
+    sheets through ONE SDXL program (TPU fast path; the reference's serial
+    per-camera loop is the main latency sink, SURVEY.md §3.2). 1 = serial
+    parity."""
 
 
 class DatasetGenerator:
@@ -395,6 +400,70 @@ class DatasetGenerator:
             "edited_scaled": edited_scaled,
         }
 
+    def generate_with_reference_sheet_batch(
+        self,
+        cameras: Cameras,
+        indices: List[int],
+        filenames: List[Optional[Path]],
+        image_sheet: jnp.ndarray,
+        cond_sheet: jnp.ndarray,
+    ) -> List[Dict[str, jnp.ndarray]]:
+        """Batched per-view generation: splice K views into K copies of the
+        sheet and diffuse them in one call (`Diffuser.diffuse_batch`).
+        Semantics identical to K serial `generate_with_reference_sheet`
+        calls modulo the diffusion RNG stream."""
+        c = self.config
+        lo = self._layout()
+        sh, sw = lo.cell_height, lo.cell_width
+
+        views = []
+        sheets_i, sheets_m, sheets_c = [], [], []
+        for idx, filename in zip(indices, filenames):
+            render, mask, cond = self.render_camera(cameras, idx)
+            if filename is not None:
+                from PIL import Image
+
+                with Image.open(filename) as img:
+                    render = jnp.asarray(image_to_array(img.convert("RGB")))
+                    if render.shape[:2] != (int(c.height), int(c.width)):
+                        render = resize_bilinear(
+                            render, int(c.height), int(c.width)
+                        )
+            r_s = resize_bilinear(render, sh, sw)
+            m_s = resize_mask(mask, sh, sw)
+            c_s = resize_bilinear(cond, sh, sw)
+            si, sm, sc = splice_last_cell(lo, image_sheet, cond_sheet, r_s, m_s, c_s)
+            views.append((render, mask, cond, r_s, m_s, c_s))
+            sheets_i.append(si)
+            sheets_m.append(sm)
+            sheets_c.append(sc)
+
+        batch_i = np.stack([np.asarray(s) for s in sheets_i])
+        batch_m = np.stack([np.asarray(s) for s in sheets_m])
+        batch_c = np.stack([np.asarray(s) for s in sheets_c])
+        edited_sheets = self.diffuser.diffuse_batch(
+            batch_i, batch_i, batch_m, batch_c
+        )
+
+        out = []
+        for k, (render, mask, cond, r_s, m_s, c_s) in enumerate(views):
+            edited_scaled = extract_last_cell(lo, jnp.asarray(edited_sheets[k]))
+            edited_scaled = blend_with_mask(edited_scaled, r_s, m_s)
+            edited = resize_bilinear(edited_scaled, int(c.height), int(c.width))
+            out.append(
+                {
+                    "render": render,
+                    "mask": mask,
+                    "condition": cond,
+                    "edited": edited,
+                    "render_scaled": r_s,
+                    "mask_scaled": m_s,
+                    "condition_scaled": c_s,
+                    "edited_scaled": edited_scaled,
+                }
+            )
+        return out
+
     # ------------------------------------------------------------------
     # saving (parity: save_generated_images :398-468)
     # ------------------------------------------------------------------
@@ -528,21 +597,36 @@ class DatasetGenerator:
         self._write_transforms(transforms)
 
         transforms["generated_indices"] = []
-        for i in range(len(gen_cams)):
-            images = self.generate_with_reference_sheet(
-                gen_cams, i, gen_filenames[i], edited_sheet, cond_sheet
-            )
-            transforms = self.save_generated_images(
-                idx,
-                images,
-                gen_cams,
-                i,
-                transforms,
-                is_original=gen_filenames[i] is not None,
-            )
-            transforms["generated_indices"].append(idx)
-            idx += 1
-        self._write_transforms(transforms)
+        bsz = max(1, int(c.generation_batch_size))
+        for start in range(0, len(gen_cams), bsz):
+            chunk = list(range(start, min(start + bsz, len(gen_cams))))
+            if bsz == 1:
+                images_list = [
+                    self.generate_with_reference_sheet(
+                        gen_cams, chunk[0], gen_filenames[chunk[0]],
+                        edited_sheet, cond_sheet,
+                    )
+                ]
+            else:
+                images_list = self.generate_with_reference_sheet_batch(
+                    gen_cams,
+                    chunk,
+                    [gen_filenames[i] for i in chunk],
+                    edited_sheet,
+                    cond_sheet,
+                )
+            for i, images in zip(chunk, images_list):
+                transforms = self.save_generated_images(
+                    idx,
+                    images,
+                    gen_cams,
+                    i,
+                    transforms,
+                    is_original=gen_filenames[i] is not None,
+                )
+                transforms["generated_indices"].append(idx)
+                idx += 1
+            self._write_transforms(transforms)
 
         if merge_with_original_dataset:
             transforms["original_indices"] = []

@@ -89,12 +89,14 @@ class TestTrainStep:
         )
         state = TrainState.create(fresh(params), opt)
         key = jax.random.PRNGKey(0)
-        state, m0 = step_fn(state, images, None, key)
-        for i in range(5):
+        losses = []
+        for i in range(8):
             state, m = step_fn(state, images, None, jax.random.fold_in(key, i))
-        assert int(state.step) == 24
-        assert float(m["total_loss"]) < float(m0["total_loss"])
-        assert bool(jnp.isfinite(m["total_loss"]))
+            losses.append(float(m["total_loss"]))
+        assert int(state.step) == 32
+        # trend check (single-batch losses are noisy): late avg < early avg
+        assert np.mean(losses[-3:]) < np.mean(losses[:3])
+        assert all(np.isfinite(l) for l in losses)
 
     def test_patch_sampling_step(self, setup):
         model, params, cams, images = setup
