@@ -181,7 +181,43 @@ class TestTensorParallel:
         assert any("to_out" in s for s in sharded)
         assert any("ff_geglu" in s for s in sharded)
 
-    def test_sharded_pipeline_runs_on_mesh(self):
+    def test_sharded_unet_forward_matches_unsharded(self):
+        """TP partitioning must be numerically equivalent at the UNet-call
+        level (the full sampler chain then diverges only by bf16
+        reduction-order noise amplified through the ancestral steps)."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        import jax.numpy as jnp
+
+        from signerf_tpu.diffusion.sdxl_pipeline import _shard_params
+        from signerf_tpu.parallel import get_mesh
+
+        pipe = SDXLInpaintPipeline.create(config=TINY_SDXL_CONFIG, seed=3)
+        lat = jnp.linspace(-1, 1, 2 * 8 * 8 * 4).reshape(2, 8, 8, 4)
+        ctx = jnp.ones((2, 77, 32)) * 0.1
+        pooled = jnp.ones((2, 16))
+        tids = jnp.zeros((2, 6))
+        t = jnp.full((2,), 500.0)
+        ref = np.asarray(
+            pipe.unet.apply(
+                {"params": pipe.params["unet"]}, lat, t, ctx, pooled, tids
+            )
+        )
+        mesh = get_mesh(8, axis_names=("tensor",))
+        sharded = _shard_params(pipe.params, mesh)
+        with mesh:
+            out = np.asarray(
+                pipe.unet.apply(
+                    {"params": sharded["unet"]}, lat, t, ctx, pooled, tids
+                )
+            )
+        # Row-sharded projections psum bf16 partials (the unsharded matmul
+        # accumulates in f32), so per-element tolerance is bf16-scale;
+        # the mean error must stay tiny or the partitioning is wrong.
+        assert np.abs(out - ref).max() < 0.15, np.abs(out - ref).max()
+        assert np.abs(out - ref).mean() < 2e-2, np.abs(out - ref).mean()
+
+    def test_sharded_pipeline_runs(self):
         if len(jax.devices()) < 8:
             pytest.skip("needs 8 virtual devices")
         from signerf_tpu.parallel import get_mesh
