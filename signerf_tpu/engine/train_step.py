@@ -193,10 +193,14 @@ def make_eval_render(
     chunks (static shapes, single compile).
     """
 
-    @functools.partial(jax.jit, static_argnames=("num_rays",))
-    def _render_padded(params, bundle, num_rays: int):
+    @functools.partial(
+        jax.jit, static_argnames=("num_rays", "appearance_mode")
+    )
+    def _render_padded(params, bundle, num_rays: int, appearance_mode):
         def render_chunk(chunk):
-            out = model.apply(params, chunk, train=False)
+            out = model.apply(
+                params, chunk, train=False, appearance_mode=appearance_mode
+            )
             return {
                 "rgb": out["rgb"],
                 "depth": out["depth"],
@@ -210,7 +214,7 @@ def make_eval_render(
         )
         return jax.lax.map(render_chunk, chunked)
 
-    def render(params, bundle_flat):
+    def render(params, bundle_flat, appearance_mode=None):
         n = bundle_flat.origins.shape[0]
         padded_n = ((n + chunk_size - 1) // chunk_size) * chunk_size
         pad = padded_n - n
@@ -220,7 +224,7 @@ def make_eval_render(
             else x,
             bundle_flat,
         )
-        out = _render_padded(params, bundle, padded_n)
+        out = _render_padded(params, bundle, padded_n, appearance_mode)
         out = jax.tree_util.tree_map(
             lambda x: x.reshape(padded_n, *x.shape[2:])[:n], out
         )

@@ -204,6 +204,7 @@ class NerfactoField(nn.Module):
         directions: jnp.ndarray,  # [R, 3] unit
         camera_indices: Optional[jnp.ndarray],  # [R] int32
         train: bool = False,
+        appearance_mode: Optional[str] = None,  # "index" | "mean" | "zero"
     ):
         density, geo = self.density(positions)
         num_s = positions.shape[-2]
@@ -212,8 +213,22 @@ class NerfactoField(nn.Module):
 
         head_in = [d_enc, geo]
         if self.use_appearance_embedding:
-            if train and camera_indices is not None:
+            # Mode resolution: training uses the ray's own image code; eval
+            # defaults to the mean code (nerfstudio parity) but callers that
+            # render *known train cameras* (the dataset generator) should
+            # pass "index" — the color MLP co-adapts to per-image codes and
+            # the mean is measurably off-manifold (37 dB vs 14 dB on a
+            # consistent scene).
+            if appearance_mode is None:
+                appearance_mode = (
+                    "index" if (train and camera_indices is not None) else "mean"
+                )
+            if appearance_mode == "index" and camera_indices is not None:
                 embed = self.appearance(camera_indices)  # [R, A]
+            elif appearance_mode == "zero":
+                embed = jnp.zeros(
+                    (*density.shape[:-1], self.appearance_embed_dim)
+                )
             else:
                 mean = jnp.mean(self.appearance.embedding, axis=0)
                 embed = jnp.broadcast_to(

@@ -186,6 +186,7 @@ class NerfactoModel:
         rng: Optional[jax.Array] = None,
         train: bool = False,
         anneal: float | jnp.ndarray = 1.0,
+        appearance_mode: Optional[str] = None,  # None=auto | index|mean|zero
     ) -> Dict[str, Any]:
         """Forward pass over a flat ray batch [R]."""
         cfg = self.config
@@ -232,7 +233,12 @@ class NerfactoModel:
 
         positions = samples.positions  # [R, S, 3]
         field_out = self.field.apply(
-            {"params": params["field"]}, positions, directions, cam_idx, train
+            {"params": params["field"]},
+            positions,
+            directions,
+            cam_idx,
+            train,
+            appearance_mode,
         )
         density = field_out["density"]  # [R, S]
         weights = render_weights(density, samples.deltas)

@@ -96,7 +96,11 @@ class SIGNeRFPipeline:
         rb = cameras.generate_rays(camera_index=index, aabb=aabb)
         h, w = cameras.height, cameras.width
         flat = rb.reshape((h * w,))
-        out = self._render(self.params, flat)
+        # Known train cameras render with their own appearance code (the
+        # mean code is off-manifold — fields.py rationale); novel
+        # reference/synthetic poses use the mean.
+        mode = "index" if cameras is self.datamanager.cameras else "mean"
+        out = self._render(self.params, flat, appearance_mode=mode)
         return {
             "rgb": out["rgb"].reshape(h, w, 3),
             "depth": out["depth"].reshape(h, w, 1),

@@ -54,8 +54,14 @@ def setup():
         width=W,
         height=H,
     )
-    images = jax.random.randint(
-        jax.random.PRNGKey(1), (2, H, W, 3), 0, 255, jnp.int32
+    # Smooth, learnable targets (per-pixel random noise saturates the loss
+    # immediately and makes trend assertions flaky).
+    yy, xx = jnp.meshgrid(jnp.arange(H), jnp.arange(W), indexing="ij")
+    grad_img = jnp.stack(
+        [xx / W, yy / H, jnp.full_like(xx, 0.5, dtype=jnp.float32)], -1
+    )
+    images = (
+        jnp.stack([grad_img, 1.0 - grad_img]) * 255
     ).astype(jnp.uint8)
     return model, params, cams, images
 
