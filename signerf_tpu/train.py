@@ -39,14 +39,11 @@ def main(argv=None) -> int:
 
     overrides = cfglib.parse_cli_overrides(argv)
     # convenience aliases (parity with ns-train's top-level flags)
-    alias = {
-        "data": "pipeline.datamanager.dataparser.data",
-        "train_only": None,
-        "train-only": None,
-    }
-    train_only = str(overrides.pop("train-only", overrides.pop("train_only", "false"))).lower() in ("1", "true", "yes")
+    train_only = str(
+        overrides.pop("train-only", overrides.pop("train_only", "false"))
+    ).lower() in ("1", "true", "yes")
     if "data" in overrides:
-        overrides[alias["data"]] = overrides.pop("data")
+        overrides["pipeline.datamanager.dataparser.data"] = overrides.pop("data")
     config = cfglib.apply_overrides(config, overrides)
 
     trainer = SIGNeRFTrainer(config)
