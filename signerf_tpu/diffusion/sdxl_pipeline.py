@@ -113,7 +113,12 @@ class SDXLInpaintPipeline:
         config: Optional[SDXLConfig] = None,
         mesh=None,
         seed: int = 0,
+        param_dtype=jnp.bfloat16,
     ) -> "SDXLInpaintPipeline":
+        """`param_dtype` defaults to bf16: the full stack (UNet 2.57B +
+        ControlNet encoder copy + dual CLIP + VAE) is ~20GB in f32 — more
+        than one v5e chip's HBM before any activations. bf16 weights halve
+        that and match the modules' compute dtype."""
         config = config or (SDXLConfig() if weights_path else TINY_SDXL_CONFIG)
         tokenizer = load_tokenizer(weights_path)
         params = None
@@ -125,12 +130,27 @@ class SDXLInpaintPipeline:
                 params = serialization.msgpack_restore(blob.read_bytes())
         if params is None:
             params = cls._random_init(config, seed)
+        if param_dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(param_dtype), params
+            )
         if mesh is not None:
             params = _shard_params(params, mesh)
         return cls(config, params, tokenizer, mesh)
 
     @staticmethod
-    def _random_init(config: SDXLConfig, seed: int) -> Dict[str, Any]:
+    def _random_init(
+        config: SDXLConfig, seed: int, param_dtype=jnp.bfloat16
+    ) -> Dict[str, Any]:
+        def cast(tree):
+            # cast per component immediately: the full-size stack's f32
+            # transient would not fit HBM
+            if param_dtype is None:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda x: x.astype(param_dtype), tree
+            )
+
         keys = jax.random.split(jax.random.PRNGKey(seed), 5)
         f = config.vae_downscale
         h = w = 8 * f
@@ -148,13 +168,15 @@ class SDXLInpaintPipeline:
         clip_g = CLIPTextModel(config.clip_g)
         ids = jnp.zeros((1, 77), jnp.int32)
         return {
-            "unet": unet.init(keys[0], lat, t, ctx, pooled, tids)["params"],
-            "controlnet": cn.init(
-                keys[1], lat, jnp.zeros((1, h, w, 1)), t, ctx, pooled, tids
-            )["params"],
-            "vae": vae.init(keys[2], jnp.zeros((1, h, w, 3)))["params"],
-            "clip_l": clip_l.init(keys[3], ids)["params"],
-            "clip_g": clip_g.init(keys[4], ids)["params"],
+            "unet": cast(unet.init(keys[0], lat, t, ctx, pooled, tids)["params"]),
+            "controlnet": cast(
+                cn.init(
+                    keys[1], lat, jnp.zeros((1, h, w, 1)), t, ctx, pooled, tids
+                )["params"]
+            ),
+            "vae": cast(vae.init(keys[2], jnp.zeros((1, h, w, 3)))["params"]),
+            "clip_l": cast(clip_l.init(keys[3], ids)["params"]),
+            "clip_g": cast(clip_g.init(keys[4], ids)["params"]),
         }
 
     # ------------------------------------------------------------------
