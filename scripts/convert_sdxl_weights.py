@@ -1,8 +1,8 @@
-"""Offline converter: diffusers SDXL (+ControlNet) torch weights -> this
-repo's flax param tree (`sdxl_params.msgpack`).
+"""Offline converter: diffusers SDXL (+ControlNet-depth) torch weights ->
+this repo's flax param tree (`sdxl_params.msgpack` + tokenizer files).
 
-Run on any machine with network access and `torch`, `diffusers`,
-`safetensors` installed (this no-egress TPU environment cannot download the
+Run on any machine WITH network access and `torch`, `diffusers`,
+`transformers` installed (the no-egress TPU environment cannot download
 weights itself):
 
     python scripts/convert_sdxl_weights.py \
@@ -13,15 +13,9 @@ weights itself):
 Then point the diffuser at it:
     --pipeline.dataset-generator.diffuser.sdxl-weights-path /weights/sdxl/
 
-The converter maps diffusers module names onto this repo's flax tree
-(see signerf_tpu/diffusion/{unet,vae,clip}.py). Torch Conv2d kernels are
-OIHW -> HWIO transposed; Linear kernels are transposed; attention
-projections keep their names (to_q/to_k/to_v/to_out).
-
-NOTE: the mapping below covers the structural families; if diffusers
-renames modules across versions, extend `RENAMES`. The script verifies
-every target leaf gets exactly one source tensor and reports any misses —
-run it to completion before shipping weights.
+The name mapping lives in signerf_tpu/diffusion/weight_conversion.py and is
+unit-tested against synthetic state dicts; `convert_component` fails loudly
+(full miss list) if a diffusers version renames modules.
 """
 
 from __future__ import annotations
@@ -31,48 +25,67 @@ import sys
 from pathlib import Path
 
 
-def convert_conv(w):
-    return w.permute(2, 3, 1, 0).numpy()  # OIHW -> HWIO
-
-
-def convert_linear(w):
-    return w.t().numpy()
-
-
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sdxl", required=True)
-    ap.add_argument("--controlnet", required=True)
+    ap.add_argument("--sdxl", default="stabilityai/stable-diffusion-xl-base-1.0")
+    ap.add_argument("--controlnet", default="diffusers/controlnet-depth-sdxl-1.0")
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
     try:
-        import torch  # noqa
+        import torch
         from diffusers import ControlNetModel, StableDiffusionXLPipeline
     except ImportError as exc:
         print(f"requires torch + diffusers on the converting machine: {exc}")
         return 1
 
-    pipe = StableDiffusionXLPipeline.from_pretrained(args.sdxl)
-    cn = ControlNetModel.from_pretrained(args.controlnet)
+    import numpy as np
+    from flax import serialization
+
+    from signerf_tpu.diffusion.sdxl_pipeline import (
+        SDXLConfig,
+        SDXLInpaintPipeline,
+    )
+    from signerf_tpu.diffusion.weight_conversion import convert_all
+
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
-    # Save tokenizer files for CLIP BPE parity.
+    print("loading diffusers checkpoints ...")
+    pipe = StableDiffusionXLPipeline.from_pretrained(
+        args.sdxl, torch_dtype=torch.float32
+    )
+    cn = ControlNetModel.from_pretrained(args.controlnet, torch_dtype=torch.float32)
+
     pipe.tokenizer.save_pretrained(out / "tokenizer")
 
-    # --- the name mapping is repo-specific; implement with the structural
-    # walk below (kept explicit so misses are loud). ---
-    print(
-        "Conversion mapping must run against the live diffusers version; "
-        "walk pipe.unet.state_dict()/cn.state_dict()/pipe.vae.state_dict()/"
-        "pipe.text_encoder(.2).state_dict() and fill the flax tree created by "
-        "signerf_tpu.diffusion.sdxl_pipeline.SDXLInpaintPipeline._random_init."
+    def sd_numpy(module) -> dict:
+        return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+    torch_sds = {
+        "unet": sd_numpy(pipe.unet),
+        "controlnet": sd_numpy(cn),
+        "vae": sd_numpy(pipe.vae),
+        "clip_l": sd_numpy(pipe.text_encoder),
+        "clip_g": sd_numpy(pipe.text_encoder_2),
+    }
+
+    print("building flax template (abstract init) ...")
+    import jax
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        template = SDXLInpaintPipeline._random_init(
+            SDXLConfig(), seed=0, param_dtype=None
+        )
+
+    print("converting ...")
+    converted = convert_all(template, torch_sds)
+    blob = serialization.msgpack_serialize(
+        jax.tree_util.tree_map(np.asarray, converted)
     )
-    print(
-        "This script is the documented seam for weight import; it cannot be "
-        "executed (or tested) in the no-egress build environment."
-    )
+    (out / "sdxl_params.msgpack").write_bytes(blob)
+    print(f"wrote {out / 'sdxl_params.msgpack'} "
+          f"({len(blob) / 1e9:.2f} GB) + tokenizer files")
     return 0
 
 

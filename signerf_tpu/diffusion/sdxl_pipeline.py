@@ -118,8 +118,14 @@ class SDXLInpaintPipeline:
         """`param_dtype` defaults to bf16: the full stack (UNet 2.57B +
         ControlNet encoder copy + dual CLIP + VAE) is ~20GB in f32 — more
         than one v5e chip's HBM before any activations. bf16 weights halve
-        that and match the modules' compute dtype."""
-        config = config or (SDXLConfig() if weights_path else TINY_SDXL_CONFIG)
+        that and match the modules' compute dtype.
+
+        The default config is ALWAYS the full SDXL architecture (random
+        init when no weights are given). The tiny config exists for tests
+        and must be passed explicitly — its vae_downscale=2 puts UNet
+        attention at near-pixel token counts, which at sheet resolutions
+        allocates a ~19GB score matrix."""
+        config = config or SDXLConfig()
         tokenizer = load_tokenizer(weights_path)
         params = None
         if weights_path is not None:
