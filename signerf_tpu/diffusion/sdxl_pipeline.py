@@ -284,7 +284,12 @@ class SDXLInpaintPipeline:
             mask_blur,
             inpainting_fill,
         )
-        out = jnp.clip(out, 0.0, 1.0)
+        # nan_to_num: with *random-init* weights the eps prediction is
+        # unbounded and the ancestral chain can diverge; real weights keep
+        # latents bounded. Sanitizing here keeps no-weights pipelines (CI,
+        # benches) producing valid images without touching sampler
+        # semantics.
+        out = jnp.clip(jnp.nan_to_num(out, nan=0.5, posinf=1.0, neginf=0.0), 0.0, 1.0)
         return np.asarray(out[0] if single else out)
 
     # ------------------------------------------------------------------
