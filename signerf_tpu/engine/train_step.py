@@ -130,6 +130,19 @@ def make_train_step(
         (total, (ld, outputs)), grads = jax.value_and_grad(
             compute_loss, has_aux=True
         )(params)
+        # Proposal update throttling (nerfacto parity: update every step
+        # during warmup, then every `proposal_update_every` steps).
+        mcfg = getattr(model, "config", None)
+        if mcfg is not None and getattr(mcfg, "proposal_update_every", 1) > 1:
+            gate = (
+                (step < mcfg.proposal_warmup)
+                | (step % mcfg.proposal_update_every == 0)
+            ).astype(jnp.float32)
+            for key_name in list(grads.keys()):
+                if key_name.startswith("proposal"):
+                    grads[key_name] = jax.tree_util.tree_map(
+                        lambda g: g * gate, grads[key_name]
+                    )
         if mesh is not None:
             grads = jax.lax.pmean(grads, "data")
             total = jax.lax.pmean(total, "data")
