@@ -146,7 +146,9 @@ class NerfactoModel:
         }
         for i, prop in enumerate(self.proposal_fields):
             if self.config.use_same_proposal_network and i > 0:
-                params[f"proposal_{i}"] = params["proposal_0"]
+                # All levels route to proposal_0 (see _density_fns); a
+                # duplicated subtree would silently diverge under its own
+                # gradients and bloat checkpoints.
                 continue
             params[f"proposal_{i}"] = prop.init(keys[1 + i], dummy_pos)["params"]
         if self.config.use_camera_opt:
