@@ -273,8 +273,11 @@ class NerfactoModel:
                     return jnp.sum(d)
 
                 grad = jax.grad(density_sum)(positions)  # [R, S, 3]
-                n = -grad / jnp.maximum(
-                    jnp.linalg.norm(grad, axis=-1, keepdims=True), 1e-6
+                # sqrt(sum^2 + eps): linalg.norm's gradient at 0 is NaN, and
+                # the orientation/pred-normal losses backprop through this
+                # (second-order path).
+                n = -grad / jnp.sqrt(
+                    jnp.sum(grad * grad, axis=-1, keepdims=True) + 1e-12
                 )
                 outputs["normals_samples"] = n
                 outputs["normals"] = R.render_normals(weights, n)

@@ -13,13 +13,21 @@ import jax.numpy as jnp
 
 
 def contract(positions: jnp.ndarray, order: float = jnp.inf) -> jnp.ndarray:
-    """Map R^3 -> ball of radius 2: x if |x|<=1 else (2 - 1/|x|) * x/|x|."""
+    """Map R^3 -> ball of radius 2: x if |x|<=1 else (2 - 1/|x|) * x/|x|.
+
+    The unselected `where` branch must stay differentiable: with raw `mag`,
+    d(scaled)/dx near mag->0 is inf, and reverse-mode through `where`
+    produces 0 * inf = NaN — which surfaces exactly when gradient normals
+    differentiate the density w.r.t. positions (predict_normals training).
+    `mag_safe` clamps the scaled branch's input to >= 1 so both branches
+    have finite gradients everywhere (standard double-where guard).
+    """
     if order == jnp.inf:
         mag = jnp.max(jnp.abs(positions), axis=-1, keepdims=True)
     else:
         mag = jnp.linalg.norm(positions, ord=order, axis=-1, keepdims=True)
-    mag = jnp.maximum(mag, 1e-12)
-    scaled = (2.0 - 1.0 / mag) * (positions / mag)
+    mag_safe = jnp.maximum(mag, 1.0)
+    scaled = (2.0 - 1.0 / mag_safe) * (positions / mag_safe)
     return jnp.where(mag <= 1.0, positions, scaled)
 
 
