@@ -24,26 +24,25 @@ from signerf_tpu.ops.hashgrid import hashgrid_resolutions, hashgrid_encode
 from signerf_tpu.ops.sh import sh_encode
 
 
-@jax.custom_vjp
+@jax.custom_jvp
 def trunc_exp(x: jnp.ndarray) -> jnp.ndarray:
-    """exp with clamped input and gradient (instant-ngp density activation).
+    """exp with clamped input and derivative (instant-ngp density activation).
 
     The value clamp (x <= 15, density <= 3.3e6 — far beyond opaque) prevents
-    inf densities when optimization spikes a hash entry; the gradient clamp
-    matches instant-ngp/nerfstudio `trunc_exp`.
+    inf densities when optimization spikes a hash entry; the derivative clamp
+    matches instant-ngp/nerfstudio `trunc_exp`. Defined via custom_jvp (not
+    custom_vjp) so BOTH differentiation modes work — gradient normals use
+    forward-mode JVPs through the density.
     """
     return jnp.exp(jnp.clip(x, -15.0, 15.0))
 
 
-def _trunc_exp_fwd(x):
-    return jnp.exp(jnp.clip(x, -15.0, 15.0)), x
-
-
-def _trunc_exp_bwd(x, g):
-    return (g * jnp.exp(jnp.clip(x, -15.0, 15.0)),)
-
-
-trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)
+@trunc_exp.defjvp
+def _trunc_exp_jvp(primals, tangents):
+    (x,) = primals
+    (t,) = tangents
+    y = jnp.exp(jnp.clip(x, -15.0, 15.0))
+    return y, t * y
 
 
 class MLP(nn.Module):
