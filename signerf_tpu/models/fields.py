@@ -206,7 +206,23 @@ class NerfactoField(nn.Module):
         appearance_mode: Optional[str] = None,  # "index" | "mean" | "zero"
     ):
         density, geo = self.density(positions)
-        num_s = positions.shape[-2]
+        return self.head_only(
+            density, geo, directions, camera_indices, train, appearance_mode
+        )
+
+    def head_only(
+        self,
+        density: jnp.ndarray,  # [R, S]
+        geo: jnp.ndarray,  # [R, S, G]
+        directions: jnp.ndarray,
+        camera_indices: Optional[jnp.ndarray],
+        train: bool = False,
+        appearance_mode: Optional[str] = None,
+    ):
+        """Color/pred-normal heads over a precomputed (density, geo) — the
+        entry point when density+gradients come from the analytic factor
+        path (`factor_density_geo_and_grad`)."""
+        num_s = geo.shape[-2]
         d_enc = sh_encode(directions, self.sh_levels)  # [R, 16]
         d_enc = jnp.broadcast_to(d_enc[..., None, :], (*density.shape, d_enc.shape[-1]))
 
@@ -246,6 +262,102 @@ class NerfactoField(nn.Module):
             out["pred_normals"] = pn / jnp.maximum(norm, 1e-6)
         del num_s
         return out
+
+
+def factor_density_geo_and_grad(
+    field_params,
+    positions: jnp.ndarray,  # [..., 3] world
+    field: "NerfactoField",
+):
+    """(density [...], geo [..., G], ddensity/dx [..., 3]) with ANALYTIC
+    spatial gradients — no autodiff through the encode.
+
+    Chain: world x -> contract_to_unit (jacobian via 3 cheap elementwise
+    JVPs) -> factor encode (dhat @ line GEMMs, ops/factor_grid) -> base MLP
+    (manual forward-mode through 2 Dense+ReLU) -> trunc_exp chain.
+    Pure function over the field's param subtree so it composes with the
+    training loss as ordinary first-order reverse-mode (the jax.grad-based
+    normals made the loss second-order, measured ~2x the whole train step).
+    """
+    from signerf_tpu.ops.factor_grid import (
+        FactorGridConfig,
+        dhat_matrix,
+        hat_matrix,
+    )
+
+    assert field.encoding_backend == "factor"
+    cfg = FactorGridConfig(
+        num_levels=field.factor_num_levels,
+        base_res=field.base_res,
+        max_res=field.max_res,
+        features_per_level=field.factor_features_per_level,
+    )
+    dtype = field.compute_dtype
+    batch_shape = positions.shape[:-1]
+    x = positions.reshape(-1, 3)
+
+    # contraction + jacobian (3 elementwise JVPs; contract is trivial math)
+    pos01 = contract_to_unit(x)
+    eye = jnp.eye(3, dtype=x.dtype)
+    jac_cols = [
+        jax.jvp(contract_to_unit, (x,), (jnp.broadcast_to(eye[i], x.shape),))[1]
+        for i in range(3)
+    ]  # each [N, 3] = d pos01 / d x_i
+
+    enc_params = field_params["encoding"]
+    feats = []
+    dfeats01 = []  # derivative wrt pos01 axes
+    for lvl, res in enumerate(cfg.resolutions):
+        f_ax, df_ax = [], []
+        for ax in range(3):
+            line = enc_params[f"line_{lvl}_{ax}"].astype(dtype)
+            f_ax.append(hat_matrix(pos01[:, ax], res, dtype) @ line)
+            df_ax.append(dhat_matrix(pos01[:, ax], res, dtype) @ line)
+        feats.append(f_ax[0] * f_ax[1] * f_ax[2])
+        dfeats01.append(
+            jnp.stack(
+                [
+                    df_ax[0] * f_ax[1] * f_ax[2],
+                    f_ax[0] * df_ax[1] * f_ax[2],
+                    f_ax[0] * f_ax[1] * df_ax[2],
+                ],
+                axis=-2,
+            )
+        )
+    feat = jnp.concatenate(feats, axis=-1).astype(jnp.float32)  # [N, D]
+    dfeat01 = jnp.concatenate(dfeats01, axis=-1).astype(jnp.float32)  # [N,3,D]
+
+    # chain rule to world axes: dfeat/dx_i = sum_j dfeat01[:, j] * J[:, j, i]
+    jac = jnp.stack(jac_cols, axis=-1)  # [N, 3(pos01 j), 3(world i)]
+    dfeat_x = jnp.einsum("njd,nji->nid", dfeat01, jac)  # [N, 3, D]
+
+    # base MLP forward + manual tangents (2 Dense + ReLU)
+    mlp = field_params["mlp_base"]
+    w0 = mlp["dense_0"]["kernel"].astype(dtype)
+    b0 = mlp["dense_0"]["bias"].astype(dtype)
+    w1 = mlp["dense_1"]["kernel"].astype(dtype)
+    b1 = mlp["dense_1"]["bias"].astype(dtype)
+    f16 = feat.astype(dtype)
+    h0 = f16 @ w0 + b0
+    a0 = jnp.maximum(h0, 0)
+    h1 = (a0 @ w1 + b1).astype(jnp.float32)  # [N, 1+G]
+    relu_mask = (h0 > 0).astype(dtype)
+    dh = (
+        (dfeat_x.astype(dtype) @ w0) * relu_mask[:, None, :]
+    ) @ w1  # [N, 3, 1+G]
+    dh0 = dh[..., 0].astype(jnp.float32)  # [N, 3]
+
+    raw = h1[..., 0] - 1.0
+    density = field.average_init_density * trunc_exp(raw)
+    inside = ((raw > -15.0) & (raw < 15.0)).astype(jnp.float32)
+    ddensity = density[..., None] * dh0 * inside[..., None]  # [N, 3]
+    geo = h1[..., 1:]
+
+    return (
+        density.reshape(batch_shape),
+        geo.reshape(*batch_shape, -1),
+        ddensity.reshape(*batch_shape, 3),
+    )
 
 
 class HashMLPDensityField(nn.Module):

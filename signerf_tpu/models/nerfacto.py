@@ -234,14 +234,40 @@ class NerfactoModel:
         )
 
         positions = samples.positions  # [R, S, 3]
-        field_out = self.field.apply(
-            {"params": params["field"]},
-            positions,
-            directions,
-            cam_idx,
-            train,
-            appearance_mode,
-        )
+        grad: Optional[jnp.ndarray] = None
+        if (
+            cfg.predict_normals
+            and cfg.use_gradient_normals
+            and cfg.encoding_backend == "factor"
+        ):
+            # Analytic density gradient (dhat-matrix GEMMs) — one shared
+            # primal, no autodiff through the encode; the color head runs
+            # over the precomputed (density, geo).
+            from signerf_tpu.models.fields import factor_density_geo_and_grad
+
+            density, geo, grad = factor_density_geo_and_grad(
+                params["field"], positions, self.field
+            )
+            field_out = self.field.apply(
+                {"params": params["field"]},
+                density,
+                geo,
+                directions,
+                cam_idx,
+                train,
+                appearance_mode,
+                method="head_only",
+            )
+            field_out["density"] = density
+        else:
+            field_out = self.field.apply(
+                {"params": params["field"]},
+                positions,
+                directions,
+                cam_idx,
+                train,
+                appearance_mode,
+            )
         density = field_out["density"]  # [R, S]
         weights = render_weights(density, samples.deltas)
 
@@ -265,36 +291,32 @@ class NerfactoModel:
                 weights, field_out["pred_normals"]
             )
             if cfg.use_gradient_normals:
-                # Gradient normals: n = -normalize(d sigma / d x), via THREE
-                # forward-mode JVPs. The obvious jax.grad(density) makes the
-                # training loss a reverse-over-REVERSE second-order program,
-                # which measured ~2x on the whole train step; reverse-over-
-                # forward is the cheap direction for a 3-dim input.
-                def density_fn(p):
-                    d, _ = self.field.apply(
-                        {"params": params["field"]}, p, method="density"
-                    )
-                    return d
+                if grad is None:
+                    # Non-factor backends: three unrolled forward-mode JVPs
+                    # through the density. (jax.grad would make the training
+                    # loss reverse-over-REVERSE — measured ~2x the whole
+                    # step; vmapping the JVPs triples retained residuals and
+                    # OOMs at the signerf batch size.)
+                    def density_fn(p):
+                        d, _ = self.field.apply(
+                            {"params": params["field"]}, p, method="density"
+                        )
+                        return d
 
-                # Unrolled (not vmapped): vmapping the jvp over tangents
-                # triples the retained backward residuals and OOMs at the
-                # signerf batch size (measured 37GB); unrolled, XLA shares
-                # what it can and peak memory stays bounded.
-                eye = jnp.eye(3, dtype=positions.dtype)
-                grad = jnp.stack(
-                    [
-                        jax.jvp(
-                            density_fn,
-                            (positions,),
-                            (jnp.broadcast_to(eye[i], positions.shape),),
-                        )[1]
-                        for i in range(3)
-                    ],
-                    axis=-1,
-                )  # [R, S, 3]
+                    eye = jnp.eye(3, dtype=positions.dtype)
+                    grad = jnp.stack(
+                        [
+                            jax.jvp(
+                                density_fn,
+                                (positions,),
+                                (jnp.broadcast_to(eye[i], positions.shape),),
+                            )[1]
+                            for i in range(3)
+                        ],
+                        axis=-1,
+                    )  # [R, S, 3]
                 # sqrt(sum^2 + eps): linalg.norm's gradient at 0 is NaN, and
-                # the orientation/pred-normal losses backprop through this
-                # (second-order path).
+                # the orientation/pred-normal losses backprop through this.
                 n = -grad / jnp.sqrt(
                     jnp.sum(grad * grad, axis=-1, keepdims=True) + 1e-12
                 )

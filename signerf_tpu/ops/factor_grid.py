@@ -77,6 +77,18 @@ def hat_matrix(u: jnp.ndarray, res: int, dtype) -> jnp.ndarray:
     return jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - j[None, :])).astype(dtype)
 
 
+def dhat_matrix(u: jnp.ndarray, res: int, dtype) -> jnp.ndarray:
+    """d(hat)/du in [0,1]-coords: -sign(x - j) inside each hat's support,
+    times the chain factor (res - 1). Analytic derivative of linear interp —
+    a second banded matrix, so the encoding's spatial gradient is ALSO one
+    GEMM per axis (no autodiff through the encode)."""
+    x = jnp.clip(u, 0.0, 1.0) * (res - 1)
+    j = jnp.arange(res, dtype=x.dtype)
+    diff = x[:, None] - j[None, :]
+    inside = (jnp.abs(diff) < 1.0).astype(x.dtype)
+    return (-jnp.sign(diff) * inside * (res - 1)).astype(dtype)
+
+
 def cp_level_features(
     x01: jnp.ndarray,  # [N, 3] in [0,1]
     lines: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],  # each [R, F]
@@ -109,17 +121,10 @@ class FactorGridEncoding(nn.Module):
 
     config: FactorGridConfig = FactorGridConfig()
 
-    @nn.compact
-    def __call__(self, positions01: jnp.ndarray) -> jnp.ndarray:
+    def setup(self):
         cfg = self.config
-        dtype = jnp.dtype(cfg.compute_dtype)
-        batch_shape = positions01.shape[:-1]
-        x = positions01.reshape(-1, 3)
-        x = jnp.clip(x, 0.0, 1.0)
-
-        feats = []
-        for lvl, res in enumerate(cfg.resolutions):
-            lines = [
+        self.lines = [
+            [
                 self.param(
                     f"line_{lvl}_{ax}",
                     # scale ~1 so the rank-F *product* of three lines starts
@@ -129,17 +134,76 @@ class FactorGridEncoding(nn.Module):
                 )
                 for ax in range(3)
             ]
-            feats.append(cp_level_features(x, tuple(lines), dtype))
+            for lvl, res in enumerate(cfg.resolutions)
+        ]
         if cfg.include_planes:
-            for axes in [(0, 1), (0, 2), (1, 2)]:
-                plane = self.param(
+            self.planes = [
+                self.param(
                     f"plane_{axes[0]}{axes[1]}",
                     nn.initializers.normal(0.02),
                     (cfg.plane_res, cfg.plane_res, cfg.plane_features),
                 )
+                for axes in [(0, 1), (0, 2), (1, 2)]
+            ]
+
+    def __call__(self, positions01: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        dtype = jnp.dtype(cfg.compute_dtype)
+        batch_shape = positions01.shape[:-1]
+        x = jnp.clip(positions01.reshape(-1, 3), 0.0, 1.0)
+
+        feats = []
+        for lvl, _res in enumerate(cfg.resolutions):
+            feats.append(cp_level_features(x, tuple(self.lines[lvl]), dtype))
+        if cfg.include_planes:
+            for plane, axes in zip(self.planes, [(0, 1), (0, 2), (1, 2)]):
                 feats.append(plane_features(x, plane, axes, dtype))
         out = jnp.concatenate(feats, axis=-1).astype(jnp.float32)
         return out.reshape(*batch_shape, cfg.out_dim)
+
+    def encode_with_grad(self, positions01: jnp.ndarray):
+        """-> (feats [..., D], dfeats [..., 3, D]) with ANALYTIC spatial
+        derivatives: per level/axis the derivative is `dhat @ line` — one
+        extra GEMM per axis, sharing the primal's hat work conceptually,
+        instead of autodiff re-evaluating the whole encode per tangent.
+        CP levels only (plane terms unsupported here)."""
+        cfg = self.config
+        assert not cfg.include_planes, (
+            "analytic gradients implemented for CP levels only"
+        )
+        dtype = jnp.dtype(cfg.compute_dtype)
+        batch_shape = positions01.shape[:-1]
+        x = jnp.clip(positions01.reshape(-1, 3), 0.0, 1.0)
+
+        feats = []
+        dfeats = []
+        for lvl, res in enumerate(cfg.resolutions):
+            lines = self.lines[lvl]
+            f_ax = []
+            df_ax = []
+            for ax in range(3):
+                h = hat_matrix(x[:, ax], res, dtype)
+                dh = dhat_matrix(x[:, ax], res, dtype)
+                line = lines[ax].astype(dtype)
+                f_ax.append(h @ line)  # [N, F]
+                df_ax.append(dh @ line)  # [N, F]
+            feat = f_ax[0] * f_ax[1] * f_ax[2]
+            dfeat = jnp.stack(
+                [
+                    df_ax[0] * f_ax[1] * f_ax[2],
+                    f_ax[0] * df_ax[1] * f_ax[2],
+                    f_ax[0] * f_ax[1] * df_ax[2],
+                ],
+                axis=-2,
+            )  # [N, 3, F]
+            feats.append(feat)
+            dfeats.append(dfeat)
+        out = jnp.concatenate(feats, axis=-1).astype(jnp.float32)
+        dout = jnp.concatenate(dfeats, axis=-1).astype(jnp.float32)
+        return (
+            out.reshape(*batch_shape, cfg.out_dim),
+            dout.reshape(*batch_shape, 3, cfg.out_dim),
+        )
 
     @property
     def out_dim(self) -> int:
