@@ -42,7 +42,7 @@ def main():
 
     chunk = 8192  # render chunk; XLA peak-memory-safe on 16GB v5e (the
     # reference uses 32768 on CUDA w/ tcnn streaming, signerf_config.py:32)
-    num_chunks = 16
+    num_chunks = 48
     total_rays = chunk * num_chunks
 
     key = jax.random.PRNGKey(1)
