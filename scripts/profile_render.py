@@ -1,0 +1,126 @@
+"""Micro-profile the render hot path on the real chip.
+
+Axon-tunnel caveat (measured): `block_until_ready` returns before device
+completion; only a device->host transfer waits. So every timing here (a)
+repeats the op K times inside ONE jit via lax.scan with a data dependence
+between iterations (so XLA can't CSE them away), and (b) ends with a scalar
+fetch. Per-op time = (t_K2 - t_K1) / (K2 - K1), which cancels RTT + transfer.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+
+def scan_time(make_step, K1=2, K2=10, repeats=3):
+    """make_step(carry_scalar) -> scalar; returns seconds per step."""
+
+    def run(K):
+        @jax.jit
+        def f(c0):
+            def body(c, _):
+                return make_step(c), None
+
+            c, _ = jax.lax.scan(body, c0, None, length=K)
+            return c
+
+        v = float(f(jnp.float32(0.01)))  # compile + run
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            v = float(f(jnp.float32(0.01 + v * 1e-20)))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    tA, tB = run(K1), run(K2)
+    return (tB - tA) / (K2 - K1)
+
+
+def main():
+    print("devices:", jax.devices())
+    from signerf_tpu.models.nerfacto import NerfactoModel, NerfactoModelConfig
+    from signerf_tpu.cameras.cameras import RayBundle
+    from signerf_tpu.ops.factor_grid import FactorGridConfig, FactorGridEncoding
+    from signerf_tpu.models.fields import HashMLPDensityField
+
+    cfg = NerfactoModelConfig()
+    model = NerfactoModel(cfg, num_train_images=8)
+    params = model.init(jax.random.PRNGKey(0))
+
+    chunk = 8192
+    dirs = jax.random.normal(jax.random.PRNGKey(1), (chunk, 3))
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    def render_step(c):
+        bundle = RayBundle(
+            origins=jnp.zeros((chunk, 3)) + c * 1e-9,
+            directions=dirs,
+            pixel_area=jnp.full((chunk, 1), 1e-6),
+            camera_indices=jnp.zeros((chunk, 1), jnp.int32),
+            nears=jnp.full((chunk, 1), 0.05),
+            fars=jnp.full((chunk, 1), 1000.0),
+        )
+        out = model.apply(params, bundle, train=False)
+        return jnp.sum(out["rgb"]) * 1e-9
+
+    t = scan_time(render_step)
+    print(f"full render chunk ({chunk} rays): {t*1e3:.2f} ms -> {chunk/t:,.0f} rays/s")
+
+    # encoding only, final-sampler density count
+    n_samples = cfg.num_nerf_samples_per_ray
+    N = chunk * n_samples
+    pos0 = jax.random.uniform(jax.random.PRNGKey(2), (N, 3))
+    enc = FactorGridEncoding(
+        FactorGridConfig(num_levels=8, base_res=16, max_res=cfg.max_res, features_per_level=16)
+    )
+    enc_params = enc.init(jax.random.PRNGKey(3), pos0)
+
+    def enc_step(c):
+        x = pos0 + c * 1e-9
+        return jnp.sum(enc.apply(enc_params, x)) * 1e-9
+
+    t_enc = scan_time(enc_step)
+    print(
+        f"factor encode [{N}]: {t_enc*1e3:.2f} ms -> {N/t_enc/1e6:.1f} M samp/s"
+        f"  ({t_enc/t*100 if t else 0:.0f}% of chunk)"
+    )
+
+    # proposal fields at their sample counts
+    for i, (ns, mres) in enumerate(
+        zip(cfg.num_proposal_samples_per_ray, (128, 256))
+    ):
+        Np = chunk * ns
+        prop = HashMLPDensityField(max_res=mres, num_levels=5)
+        pp = prop.init(jax.random.PRNGKey(5), jnp.zeros((8, 3)))
+        posp0 = jax.random.uniform(jax.random.PRNGKey(4), (Np, 3)) * 2 - 1
+
+        def prop_step(c, _prop=prop, _pp=pp, _pos=posp0):
+            return jnp.sum(_prop.apply(_pp, _pos + c * 1e-9)) * 1e-9
+
+        t_p = scan_time(prop_step)
+        print(f"proposal[{i}] field [{Np}] max_res {mres}: {t_p*1e3:.2f} ms")
+
+    # field MLPs at final N (base+head proxy)
+    w0 = jax.random.normal(jax.random.PRNGKey(6), (128, 64), jnp.bfloat16)
+    w1 = jax.random.normal(jax.random.PRNGKey(7), (64, 64), jnp.bfloat16)
+    x0 = jax.random.normal(jax.random.PRNGKey(8), (N, 128), jnp.bfloat16)
+
+    def mlp_step(c):
+        h = jnp.maximum((x0 + c.astype(jnp.bfloat16) * 1e-9) @ w0, 0)
+        for _ in range(4):
+            h = jnp.maximum(h @ w1, 0)
+        return jnp.sum(h.astype(jnp.float32)) * 1e-9
+
+    t_mlp = scan_time(mlp_step)
+    print(f"5-layer 64-wide MLP [{N}]: {t_mlp*1e3:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

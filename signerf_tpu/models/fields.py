@@ -187,10 +187,19 @@ class NerfactoField(nn.Module):
                 compute_dtype=self.compute_dtype,
             )
 
-    def density(self, positions: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """positions [..., 3] world -> (density [...], geo_feat [..., G])."""
+    def density(
+        self, positions: jnp.ndarray, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """positions [..., 3] world -> (density [...], geo_feat [..., G]).
+
+        `train=True` keeps the encode on the XLA path (differentiated by the
+        training loss); eval/render use the fused Pallas forward.
+        """
         pos01 = contract_to_unit(positions)
-        feats = self.encoding(pos01)
+        if self.encoding_backend == "factor":
+            feats = self.encoding(pos01, use_fused=not train)
+        else:
+            feats = self.encoding(pos01)
         h = self.mlp_base(feats)
         # nerfstudio parity: density = average_init_density * trunc_exp(x)
         # (signerf sets average_init_density=0.01, signerf_config.py:40).
@@ -205,7 +214,7 @@ class NerfactoField(nn.Module):
         train: bool = False,
         appearance_mode: Optional[str] = None,  # "index" | "mean" | "zero"
     ):
-        density, geo = self.density(positions)
+        density, geo = self.density(positions, train=train)
         return self.head_only(
             density, geo, directions, camera_indices, train, appearance_mode
         )
@@ -375,7 +384,7 @@ class HashMLPDensityField(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, positions: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, positions: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         pos01 = contract_to_unit(positions)
         if self.encoding_backend == "factor":
             from signerf_tpu.ops.factor_grid import (
@@ -390,7 +399,7 @@ class HashMLPDensityField(nn.Module):
                     max_res=self.max_res,
                     features_per_level=self.factor_features_per_level,
                 )
-            )(pos01)
+            )(pos01, use_fused=not train)
         else:
             feats = HashGridEncoding(
                 num_levels=self.num_levels,

@@ -159,13 +159,13 @@ class NerfactoModel:
     # forward
     # ------------------------------------------------------------------
 
-    def _density_fns(self, params):
+    def _density_fns(self, params, train: bool = False):
         fns = []
         for i, prop in enumerate(self.proposal_fields):
             key = f"proposal_{0 if self.config.use_same_proposal_network else i}"
 
             def fn(positions, _prop=prop, _key=key):
-                return _prop.apply({"params": params[_key]}, positions)
+                return _prop.apply({"params": params[_key]}, positions, train=train)
 
             fns.append(fn)
         return fns
@@ -226,7 +226,7 @@ class NerfactoModel:
         samples, weights_list, samples_list = proposal_sample(
             rng,
             bundle,
-            self._density_fns(params),
+            self._density_fns(params, train=train),
             num_proposal_samples=cfg.num_proposal_samples_per_ray,
             num_nerf_samples=cfg.num_nerf_samples_per_ray,
             single_jitter=cfg.single_jitter,

@@ -26,6 +26,7 @@ remains available as the semantics-parity backend.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Sequence, Tuple
 
@@ -116,6 +117,57 @@ def plane_features(
     return jnp.einsum("nr,nrf->nf", hb, t1)  # row-wise reduce (VPU)
 
 
+def _encode_reference(
+    cfg: FactorGridConfig, lines: Tuple[Tuple[jnp.ndarray, ...], ...], x01: jnp.ndarray
+) -> jnp.ndarray:
+    """Pure-XLA CP encode over a [level][axis] line pytree (no planes)."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    feats = [
+        cp_level_features(x01, tuple(lines[lvl]), dtype)
+        for lvl in range(len(cfg.resolutions))
+    ]
+    return jnp.concatenate(feats, axis=-1).astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _encode_fused(cfg: FactorGridConfig, lines, x01: jnp.ndarray) -> jnp.ndarray:
+    """Fused Pallas forward (ops/fused_factor_pallas.py); backward recomputes
+    through the XLA reference so training gradients are bit-identical to the
+    non-kernel path."""
+    from signerf_tpu.ops import fused_factor_pallas as ffp
+
+    packed = ffp.pack_tables(cfg.resolutions, lines)
+    return ffp.fused_factor_encode_tpu(
+        cfg.resolutions,
+        cfg.features_per_level,
+        packed,
+        x01,
+        ffp.FORCE_INTERPRET,
+    )
+
+
+def _encode_fused_fwd(cfg, lines, x01):
+    return _encode_fused(cfg, lines, x01), (lines, x01)
+
+
+def _encode_fused_bwd(cfg, residuals, g):
+    lines, x01 = residuals
+    _, vjp = jax.vjp(lambda l, x: _encode_reference(cfg, l, x), lines, x01)
+    return vjp(g)
+
+
+_encode_fused.defvjp(_encode_fused_fwd, _encode_fused_bwd)
+
+
+def use_fused_kernel() -> bool:
+    """Fused Pallas encode runs on real TPU backends (incl. the axon tunnel);
+    CPU (tests, dryrun meshes) uses the XLA reference path."""
+    try:
+        return jax.default_backend() != "cpu"
+    except RuntimeError:  # pragma: no cover - no backend at all
+        return False
+
+
 class FactorGridEncoding(nn.Module):
     """Learned factorized encoding; drop-in alternative to HashGridEncoding."""
 
@@ -146,11 +198,22 @@ class FactorGridEncoding(nn.Module):
                 for axes in [(0, 1), (0, 2), (1, 2)]
             ]
 
-    def __call__(self, positions01: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, positions01: jnp.ndarray, use_fused: bool | None = None) -> jnp.ndarray:
+        """use_fused: None = auto (fused Pallas forward on TPU backends);
+        False = XLA path. Callers that will differentiate through the encode
+        (training) pass False until the Pallas backward lands — the
+        custom_vjp recompute backward measured ~13% slower end-to-end train.
+        """
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)
         batch_shape = positions01.shape[:-1]
         x = jnp.clip(positions01.reshape(-1, 3), 0.0, 1.0)
+
+        use_fused = (use_fused is not False) and use_fused_kernel()
+        if not cfg.include_planes and use_fused:
+            lines = tuple(tuple(axes) for axes in self.lines)
+            out = _encode_fused(cfg, lines, x.astype(jnp.float32))
+            return out.reshape(*batch_shape, cfg.out_dim)
 
         feats = []
         for lvl, _res in enumerate(cfg.resolutions):

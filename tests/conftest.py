@@ -21,4 +21,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The sitecustomize imports jax at interpreter start (before this conftest),
+# so jax's config already captured JAX_PLATFORMS=axon from the environment.
+# Setting the env var above is then not enough — override the live config so
+# the suite really runs on host CPU, not through the TPU tunnel (measured:
+# a tunnel run is ~50x slower and trips bf16/f32-precision assertions).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)

@@ -1,0 +1,112 @@
+"""Fused Pallas factor-grid encode: parity with the XLA reference path.
+
+Runs the kernel in pallas interpret mode (CPU CI); the same kernel code is
+what executes compiled on TPU. Covers: the nerfacto final-field schedule
+(small + large levels, two-stage gather), the proposal schedule (all-dense),
+non-multiple-of-block N (padding path), boundary coordinates, and the
+custom_vjp backward (= XLA reference gradients).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from signerf_tpu.ops import fused_factor_pallas as ffp
+from signerf_tpu.ops.factor_grid import (
+    FactorGridConfig,
+    FactorGridEncoding,
+    _encode_fused,
+    _encode_reference,
+)
+
+
+def make_lines(cfg, key=0, scale=0.2):
+    k = jax.random.PRNGKey(key)
+    return tuple(
+        tuple(
+            jax.random.normal(jax.random.fold_in(k, 10 * l + a), (res, cfg.features_per_level))
+            * scale
+            for a in range(3)
+        )
+        for l, res in enumerate(cfg.resolutions)
+    )
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(ffp, "FORCE_INTERPRET", True)
+
+
+CONFIGS = {
+    "final": FactorGridConfig(num_levels=8, base_res=16, max_res=2048, features_per_level=16),
+    "proposal": FactorGridConfig(num_levels=5, base_res=16, max_res=128, features_per_level=8),
+    "prop256": FactorGridConfig(num_levels=5, base_res=16, max_res=256, features_per_level=8),
+}
+
+
+@pytest.mark.parametrize("name", list(CONFIGS))
+def test_parity_with_reference(name):
+    cfg = CONFIGS[name]
+    lines = make_lines(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (257, 3))  # non-multiple N
+    ref = np.asarray(_encode_reference(cfg, lines, x))
+    out = np.asarray(_encode_fused(cfg, lines, x))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
+def test_boundary_coords_exact():
+    cfg = CONFIGS["final"]
+    lines = make_lines(cfg)
+    x = jnp.array([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0], [0.5, 0.0, 1.0]])
+    ref = np.asarray(_encode_reference(cfg, lines, x))
+    out = np.asarray(_encode_fused(cfg, lines, x))
+    np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
+def test_backward_matches_reference_grads():
+    cfg = CONFIGS["proposal"]
+    lines = make_lines(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (64, 3))
+
+    def loss_fused(l, x):
+        return jnp.sum(jnp.sin(_encode_fused(cfg, l, x)))
+
+    def loss_ref(l, x):
+        return jnp.sum(jnp.sin(_encode_reference(cfg, l, x)))
+
+    g_f = jax.grad(loss_fused, argnums=(0, 1))(lines, x)
+    g_r = jax.grad(loss_ref, argnums=(0, 1))(lines, x)
+    for a, b in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_r)):
+        # bwd recomputes through the reference; only fwd output (inside sin')
+        # differs by kernel rounding.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_encoding_module_uses_fused_on_noncpu(monkeypatch):
+    """The linen module routes through the fused path when the backend gate
+    is open; outputs must match the module's XLA path."""
+    import signerf_tpu.ops.factor_grid as fg
+
+    cfg = CONFIGS["proposal"]
+    enc = FactorGridEncoding(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (33, 3))
+    params = enc.init(jax.random.PRNGKey(4), x)
+    ref = enc.apply(params, x)  # CPU backend -> XLA path
+    monkeypatch.setattr(fg, "use_fused_kernel", lambda: True)
+    out = enc.apply(params, x)  # fused (interpret) path
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_pack_shapes():
+    cfg = CONFIGS["final"]
+    lines = make_lines(cfg)
+    smalls, larges = ffp.pack_tables(cfg.resolutions, lines)
+    assert len(smalls) == 3 and len(larges) == 4 * 3
+    n_small = sum(1 for r in cfg.resolutions if r <= ffp.SMALL_MAX_RES)
+    assert smalls[0].shape[0] == n_small * cfg.features_per_level
+    assert smalls[0].shape[1] % 128 == 0
+    for b in larges:
+        assert b.shape[0] == (ffp.TAP_BLOCK + 1) * cfg.features_per_level
+        assert b.shape[1] % 128 == 0
