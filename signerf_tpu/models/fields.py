@@ -192,14 +192,12 @@ class NerfactoField(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """positions [..., 3] world -> (density [...], geo_feat [..., G]).
 
-        `train=True` keeps the encode on the XLA path (differentiated by the
-        training loss); eval/render use the fused Pallas forward.
+        Both train and eval use the fused Pallas encode (forward kernel +
+        split table/coords backward kernels in ops/fused_factor_pallas.py).
         """
+        del train
         pos01 = contract_to_unit(positions)
-        if self.encoding_backend == "factor":
-            feats = self.encoding(pos01, use_fused=not train)
-        else:
-            feats = self.encoding(pos01)
+        feats = self.encoding(pos01)
         h = self.mlp_base(feats)
         # nerfstudio parity: density = average_init_density * trunc_exp(x)
         # (signerf sets average_init_density=0.01, signerf_config.py:40).
@@ -399,7 +397,7 @@ class HashMLPDensityField(nn.Module):
                     max_res=self.max_res,
                     features_per_level=self.factor_features_per_level,
                 )
-            )(pos01, use_fused=not train)
+            )(pos01)
         else:
             feats = HashGridEncoding(
                 num_levels=self.num_levels,

@@ -152,6 +152,22 @@ def _encode_fused_fwd(cfg, lines, x01):
 
 def _encode_fused_bwd(cfg, residuals, g):
     lines, x01 = residuals
+    from signerf_tpu.ops import fused_factor_pallas as ffp
+
+    if use_fused_kernel() or ffp.FORCE_INTERPRET:
+        packed = ffp.pack_tables(cfg.resolutions, lines)
+        grad_packed, grad_x = ffp.fused_factor_encode_bwd_tpu(
+            cfg.resolutions,
+            cfg.features_per_level,
+            packed,
+            x01,
+            g,
+            ffp.FORCE_INTERPRET,
+        )
+        grad_lines = ffp.unpack_table_grads(
+            cfg.resolutions, grad_packed, cfg.features_per_level
+        )
+        return grad_lines, grad_x
     _, vjp = jax.vjp(lambda l, x: _encode_reference(cfg, l, x), lines, x01)
     return vjp(g)
 

@@ -247,3 +247,265 @@ def pack_tables(
         for ax in range(3)
     )
     return smalls, larges
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+#
+# Same recompute structure as the forward (hats / one-hots / t1 rebuilt in
+# VMEM), then per axis the product rule G_ax = g_level * f_other1 * f_other2,
+# and:
+#   grad(line tables) = G @ hat^T (small) / tap-weighted G @ onehot^T (large)
+#     — GEMMs accumulated across grid blocks into the (tiny) table grads
+#       (TPU grids are sequential, so read-modify-write on the outputs is
+#       race-free; block 0 initializes them to zero).
+#   grad(coords)      = sum_features G * d f/d u, with d hat/d u the analytic
+#     banded derivative (matches ops/factor_grid.dhat_matrix semantics).
+
+
+def _make_bwd_kernel(resolutions: Tuple[int, ...], feat: int, blk: int, mode: str):
+    """mode="tables": emit line-table grads only. mode="coords": emit
+    coordinate grads only. Two kernels (two pallas_calls) so that when the
+    training loss doesn't need d/d(positions) — camera-opt off/frozen, the
+    common case — XLA dead-code-eliminates the coords kernel entirely."""
+    assert mode in ("tables", "coords")
+    small_res, large_res = _split_levels(resolutions)
+    n_small = len(small_res)
+    c_s = n_small * feat
+    tables = mode == "tables"
+
+    def kernel(coords_ref, g_ref, scale_ref, offset_ref, small_x, small_y, small_z,
+               *refs):
+        n_large = len(large_res)
+        large_refs = refs[: n_large * 3]
+        out_refs = refs[n_large * 3 :]
+        if tables:
+            gsmall_refs = out_refs[:3]
+            glarge_refs = out_refs[3 : n_large * 3 + 3]
+
+            @pl.when(pl.program_id(0) == 0)
+            def _init():
+                for r in (*gsmall_refs, *glarge_refs):
+                    r[:, :] = jnp.zeros_like(r)
+        else:
+            gcoords_ref = out_refs[0]
+
+        smalls = (small_x, small_y, small_z)
+        grad_u = [None, None, None]  # [1, BLK] per axis
+
+        if n_small:
+            g_s = g_ref[0:c_s, :]  # [C_s, BLK] f32
+            hats = []
+            fs = []
+            for ax in range(3):
+                u = coords_ref[ax : ax + 1, :]
+                z = scale_ref[:, :] * u - offset_ref[:, :]  # [R_s, BLK]
+                hat = jnp.maximum(0.0, 1.0 - jnp.abs(z)).astype(jnp.bfloat16)
+                if tables:
+                    hats.append(hat)
+                fs.append(
+                    jax.lax.dot_general(
+                        smalls[ax][:, :], hat, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )  # [C_s, BLK]
+            for ax in range(3):
+                o1, o2 = (ax + 1) % 3, (ax + 2) % 3
+                G = g_s * fs[o1] * fs[o2]  # [C_s, BLK]
+                if tables:
+                    gsmall_refs[ax][:, :] += jax.lax.dot_general(
+                        G.astype(jnp.bfloat16), hats[ax], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [C_s, R_s_pad]
+                else:
+                    # coordinate gradient: d hat/d u = -sign(z)*1{|z|<1}*scale
+                    u = coords_ref[ax : ax + 1, :]
+                    z = scale_ref[:, :] * u - offset_ref[:, :]
+                    dhat = (
+                        -jnp.sign(z)
+                        * (jnp.abs(z) < 1.0).astype(jnp.float32)
+                        * scale_ref[:, :]
+                    ).astype(jnp.bfloat16)
+                    dfdu = jax.lax.dot_general(
+                        smalls[ax][:, :], dhat, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [C_s, BLK]
+                    gu = jnp.sum(G * dfdu, axis=0, keepdims=True)  # [1, BLK]
+                    grad_u[ax] = gu if grad_u[ax] is None else grad_u[ax] + gu
+
+        for li, res in enumerate(large_res):
+            r1 = _num_blocks(res)
+            r1_pad = _round_up(r1, 128)
+            off = (n_small + li) * feat
+            g_l = g_ref[off : off + feat, :]  # [F, BLK]
+            onehots = []
+            t1s = []
+            xlocs = []
+            f_l = []
+            for ax in range(3):
+                u = coords_ref[ax : ax + 1, :]
+                blocks = large_refs[li * 3 + ax]
+                xl = u * (res - 1)
+                a = jnp.clip(jnp.floor(xl * (1.0 / TAP_BLOCK)), 0, r1 - 1)
+                x_loc = xl - a * TAP_BLOCK
+                sub = jax.lax.broadcasted_iota(jnp.int32, (r1_pad, blk), 0)
+                onehot = (sub.astype(jnp.float32) == a).astype(jnp.bfloat16)
+                t1 = jax.lax.dot_general(
+                    blocks[:, :], onehot, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [9F, BLK]
+                acc = None
+                for c in range(TAP_BLOCK + 1):
+                    w = jnp.maximum(0.0, 1.0 - jnp.abs(x_loc - c))
+                    term = w * t1[c * feat : (c + 1) * feat, :]
+                    acc = term if acc is None else acc + term
+                onehots.append(onehot)
+                t1s.append(t1)
+                xlocs.append(x_loc)
+                f_l.append(acc)
+            for ax in range(3):
+                o1, o2 = (ax + 1) % 3, (ax + 2) % 3
+                G = g_l * f_l[o1] * f_l[o2]  # [F, BLK]
+                x_loc = xlocs[ax]
+                if tables:
+                    gt1_parts = []
+                    for c in range(TAP_BLOCK + 1):
+                        w = jnp.maximum(0.0, 1.0 - jnp.abs(x_loc - c))
+                        gt1_parts.append(w * G)
+                    gt1 = jnp.concatenate(gt1_parts, axis=0).astype(jnp.bfloat16)
+                    glarge_refs[li * 3 + ax][:, :] += jax.lax.dot_general(
+                        gt1, onehots[ax], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [9F, r1_pad]
+                else:
+                    gu = None
+                    for c in range(TAP_BLOCK + 1):
+                        d = x_loc - c  # [1, BLK]
+                        dw = (
+                            -jnp.sign(d)
+                            * (jnp.abs(d) < 1.0).astype(jnp.float32)
+                            * (res - 1)
+                        )
+                        contrib = jnp.sum(
+                            G * (dw * t1s[ax][c * feat : (c + 1) * feat, :]),
+                            axis=0,
+                            keepdims=True,
+                        )
+                        gu = contrib if gu is None else gu + contrib
+                    grad_u[ax] = gu if grad_u[ax] is None else grad_u[ax] + gu
+
+        if not tables:
+            gcoords_ref[:, :] = jnp.concatenate(
+                [grad_u[0], grad_u[1], grad_u[2]], axis=0
+            )  # [3, BLK]
+
+    return kernel, small_res, large_res
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 5))
+def fused_factor_encode_bwd_tpu(
+    resolutions: Tuple[int, ...],
+    feat: int,
+    packed: Tuple,
+    coords01: jnp.ndarray,  # [N, 3] f32, pre-clipped
+    g: jnp.ndarray,  # [N, D] f32 cotangent
+    interpret: bool = False,
+) -> Tuple[Tuple, jnp.ndarray]:
+    """-> (grad_packed (same structure as `packed`, f32), grad_coords [N, 3])."""
+    blk = 1024
+    n = coords01.shape[0]
+    n_pad = _round_up(max(n, blk), blk)
+    coords_t = coords01.T
+    g_t = g.T  # [D, N]
+    if n_pad != n:
+        coords_t = jnp.pad(coords_t, ((0, 0), (0, n_pad - n)))
+        g_t = jnp.pad(g_t, ((0, 0), (0, n_pad - n)))
+
+    smalls, larges = packed
+    k_tables, small_res, large_res = _make_bwd_kernel(resolutions, feat, blk, "tables")
+    k_coords, _, _ = _make_bwd_kernel(resolutions, feat, blk, "coords")
+    s_scale, s_offset = small_meta(small_res)
+    scale_arr = jnp.asarray(s_scale)
+    offset_arr = jnp.asarray(s_offset)
+    out_dim = len(resolutions) * feat
+
+    grid = (n_pad // blk,)
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((3, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((out_dim, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        full(scale_arr.shape),
+        full(offset_arr.shape),
+        *[full(s.shape) for s in smalls],
+        *[full(b.shape) for b in larges],
+    ]
+    args = (coords_t, g_t, scale_arr, offset_arr, *smalls, *larges)
+
+    table_outs = pl.pallas_call(
+        k_tables,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            *[full(s.shape) for s in smalls],  # grad_smalls (accumulated)
+            *[full(b.shape) for b in larges],  # grad_larges (accumulated)
+        ],
+        out_shape=[
+            *[jax.ShapeDtypeStruct(s.shape, jnp.float32) for s in smalls],
+            *[jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in larges],
+        ],
+        interpret=interpret,
+    )(*args)
+    g_coords_t = pl.pallas_call(
+        k_coords,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((3, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+        interpret=interpret,
+    )(*args)
+    g_smalls = tuple(table_outs[:3])
+    g_larges = tuple(table_outs[3 : 3 + len(larges)])
+    g_coords = g_coords_t[:, :n].T
+    return (g_smalls, g_larges), g_coords
+
+
+def unpack_table_grads(
+    resolutions: Tuple[int, ...],
+    grad_packed: Tuple,
+    feat: int,
+):
+    """Map packed-table grads back to per-level, per-axis [res, F] line grads.
+
+    Small levels: slice the block-diagonal grad. Large levels: overlap-add
+    the 9-row block grads (row 8a+c of the line receives block a tap c, and
+    tap 8 of block a-1 aliases tap 0 of block a).
+    """
+    small_res, large_res = _split_levels(resolutions)
+    n_small = len(small_res)
+    g_smalls, g_larges = grad_packed
+    grads = []
+    for l, res in enumerate(small_res):
+        off = sum(small_res[:l])
+        per_axis = []
+        for ax in range(3):
+            blockdiag = g_smalls[ax]  # [C_s, R_s_pad]
+            per_axis.append(blockdiag[l * feat : (l + 1) * feat, off : off + res].T)
+        grads.append(tuple(per_axis))
+    for li, res in enumerate(large_res):
+        r1 = _num_blocks(res)
+        per_axis = []
+        for ax in range(3):
+            gb = g_larges[li * 3 + ax]  # [9F, r1_pad] f32
+            g3 = gb.T[:r1].reshape(r1, TAP_BLOCK + 1, feat)
+            main = g3[:, :TAP_BLOCK, :].reshape(r1 * TAP_BLOCK, feat)
+            pad_rows = r1 * TAP_BLOCK + TAP_BLOCK + 1
+            out = jnp.zeros((pad_rows, feat), jnp.float32)
+            out = out.at[: r1 * TAP_BLOCK].add(main)
+            overlap_rows = jnp.arange(1, r1 + 1) * TAP_BLOCK
+            out = out.at[overlap_rows].add(g3[:, TAP_BLOCK, :])
+            per_axis.append(out[:res])
+        grads.append(tuple(per_axis))
+    return tuple(grads)

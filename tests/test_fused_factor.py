@@ -65,23 +65,30 @@ def test_boundary_coords_exact():
     np.testing.assert_allclose(out, ref, atol=2e-3)
 
 
-def test_backward_matches_reference_grads():
-    cfg = CONFIGS["proposal"]
+@pytest.mark.parametrize("name", ["proposal", "final"])
+def test_backward_matches_reference_grads(name):
+    """Pallas backward vs the XLA-reference vjp, SAME cotangent into both.
+
+    Both paths share the bf16-GEMM contract, so agreement is at bf16
+    relative precision; coordinate grads carry the (res-1) chain factor, so
+    tolerances are relative to each leaf's magnitude."""
+    from signerf_tpu.ops.factor_grid import _encode_fused_bwd
+
+    cfg = CONFIGS[name]
     lines = make_lines(cfg)
     x = jax.random.uniform(jax.random.PRNGKey(2), (64, 3))
+    g = jax.random.normal(jax.random.PRNGKey(3), (64, cfg.out_dim))
 
-    def loss_fused(l, x):
-        return jnp.sum(jnp.sin(_encode_fused(cfg, l, x)))
+    gl_p, gx_p = _encode_fused_bwd(cfg, (lines, x), g)
+    _, vjp = jax.vjp(lambda l, xx: _encode_reference(cfg, l, xx), lines, x)
+    gl_r, gx_r = vjp(g)
 
-    def loss_ref(l, x):
-        return jnp.sum(jnp.sin(_encode_reference(cfg, l, x)))
-
-    g_f = jax.grad(loss_fused, argnums=(0, 1))(lines, x)
-    g_r = jax.grad(loss_ref, argnums=(0, 1))(lines, x)
-    for a, b in zip(jax.tree_util.tree_leaves(g_f), jax.tree_util.tree_leaves(g_r)):
-        # bwd recomputes through the reference; only fwd output (inside sin')
-        # differs by kernel rounding.
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+    gx_p, gx_r = np.asarray(gx_p), np.asarray(gx_r)
+    assert np.abs(gx_p - gx_r).max() <= 0.02 * np.abs(gx_r).max() + 1e-4
+    for a, b in zip(jax.tree_util.tree_leaves(gl_p), jax.tree_util.tree_leaves(gl_r)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=0.02 * max(np.abs(b).max(), 1e-3))
 
 
 def test_encoding_module_uses_fused_on_noncpu(monkeypatch):
