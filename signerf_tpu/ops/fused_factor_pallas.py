@@ -79,7 +79,7 @@ def pack_small_lines(lines: Sequence[jnp.ndarray], dtype=jnp.bfloat16) -> jnp.nd
     """Transposed block-diagonal [n_small*F, R_small_pad] line table."""
     f = lines[0].shape[1]
     r_tot = sum(l.shape[0] for l in lines)
-    r_pad = _round_up(r_tot, 128)
+    r_pad = _round_up(r_tot, 8)
     out = jnp.zeros((len(lines) * f, r_pad), dtype)
     off = 0
     for i, line in enumerate(lines):
@@ -97,7 +97,7 @@ def small_meta(resolutions: Sequence[int]) -> Tuple[np.ndarray, np.ndarray]:
     scale 0 / offset 2 so their hat value is exactly 0.
     """
     r_tot = sum(resolutions)
-    r_pad = _round_up(r_tot, 128)
+    r_pad = _round_up(r_tot, 8)
     scale = np.full((r_pad, 1), 0.0, np.float32)
     offset = np.full((r_pad, 1), 2.0, np.float32)
     off = 0
@@ -116,7 +116,7 @@ def pack_large_blocks(line: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     """
     res, f = line.shape
     r1 = _num_blocks(res)
-    r1_pad = _round_up(r1, 128)
+    r1_pad = _round_up(r1, 8)
     idx = (np.arange(r1)[:, None] * TAP_BLOCK + np.arange(TAP_BLOCK + 1)[None, :]).reshape(-1)
     valid = idx < res
     idx = np.where(valid, idx, 0)
@@ -154,7 +154,7 @@ def _make_kernel(resolutions: Tuple[int, ...], feat: int, blk: int):
             out_ref[0 : n_small * feat, :] = p_small
         for li, res in enumerate(large_res):
             r1 = _num_blocks(res)
-            r1_pad = _round_up(r1, 128)
+            r1_pad = _round_up(r1, 8)
             p_lvl = None
             for ax in range(3):
                 u = coords_ref[ax : ax + 1, :]  # [1, BLK]
@@ -336,7 +336,7 @@ def _make_bwd_kernel(resolutions: Tuple[int, ...], feat: int, blk: int, mode: st
 
         for li, res in enumerate(large_res):
             r1 = _num_blocks(res)
-            r1_pad = _round_up(r1, 128)
+            r1_pad = _round_up(r1, 8)
             off = (n_small + li) * feat
             g_l = g_ref[off : off + feat, :]  # [F, BLK]
             onehots = []

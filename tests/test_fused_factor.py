@@ -113,7 +113,7 @@ def test_pack_shapes():
     assert len(smalls) == 3 and len(larges) == 4 * 3
     n_small = sum(1 for r in cfg.resolutions if r <= ffp.SMALL_MAX_RES)
     assert smalls[0].shape[0] == n_small * cfg.features_per_level
-    assert smalls[0].shape[1] % 128 == 0
+    assert smalls[0].shape[1] % 8 == 0  # contraction dims need 8-row tiles
     for b in larges:
         assert b.shape[0] == (ffp.TAP_BLOCK + 1) * cfg.features_per_level
-        assert b.shape[1] % 128 == 0
+        assert b.shape[1] % 8 == 0
