@@ -94,6 +94,13 @@ class SDXLInpaintPipeline:
         self.params = params
         self.tokenizer = tokenizer
         self.mesh = mesh
+        if mesh is not None:
+            # The pallas flash-attention call is opaque to GSPMD: with
+            # head-sharded activations it would force an all-gather (or fail
+            # to partition). TP runs keep the einsum path, which XLA shards.
+            from signerf_tpu.diffusion.unet import set_flash_attention
+
+            set_flash_attention(False)
         self.unet = UNet2DConditionModel(config.unet)
         self.controlnet = ControlNet(
             config.unet,

@@ -101,6 +101,59 @@ class ResnetBlock2D(nn.Module):
         return x + h
 
 
+# Blockwise (flash) self-attention for the big spatial sequences. The grid
+# trick makes the reference-sheet latent one long token sequence (SURVEY.md
+# §5 "long-context": self-attention across the whole r x c sheet is what
+# yields multi-view-consistent edits), so naive [B, h, S, S] score
+# materialization is the UNet's HBM hot spot — a 3x3 sheet at 1536 px hits
+# S=36864 tokens (scores would be 2.7 GB per batch element per layer).
+# Disable (set_flash_attention(False)) when sharding heads tensor-parallel:
+# the pallas call is opaque to GSPMD.
+#
+# Threshold is on TOTAL tokens (batch * seq): naive-score memory is
+# B*H*S^2, so batched per-view sheets hit the wall at the same B*S as a
+# single bigger sheet. Measured on 1x v5e: at B=1 S=9216 (3x3 sheet at
+# 1536 px) the XLA einsum path is 2.4x FASTER than the flash kernel
+# (10.3 vs 24.8 ms), while at S=36864 the einsum path fails to allocate
+# outright and flash runs fine — so flash is the memory-ceiling escape
+# hatch, not the default.
+FLASH_ATTENTION = True
+FLASH_MIN_TOKENS = 16384
+
+
+def set_flash_attention(enabled: bool) -> None:
+    global FLASH_ATTENTION
+    FLASH_ATTENTION = enabled
+
+
+def _flash_self_attention(q, k, v, num_heads, head_dim, sm_scale):
+    """q/k/v [B, S, H, D] -> [B, S, H*D] via the pallas TPU flash kernel,
+    padding S to the 128-token block size with masked segment ids."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, s, _, _ = q.shape
+    pad = (-s) % 128
+    qh = jnp.swapaxes(q, 1, 2)  # [B, H, S, D]
+    kh = jnp.swapaxes(k, 1, 2)
+    vh = jnp.swapaxes(v, 1, 2)
+    if pad:
+        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        kh = jnp.pad(kh, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        vh = jnp.pad(vh, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        ids = jnp.concatenate(
+            [jnp.zeros((b, s), jnp.int32), jnp.ones((b, pad), jnp.int32)], axis=1
+        )
+        seg = SegmentIds(q=ids, kv=ids)
+    else:
+        seg = None
+    out = flash_attention(qh, kh, vh, segment_ids=seg, sm_scale=sm_scale)
+    out = jnp.swapaxes(out, 1, 2)[:, :s]  # [B, S, H, D]
+    return out.reshape(b, s, num_heads * head_dim)
+
+
 class CrossAttention(nn.Module):
     num_heads: int
     head_dim: int
@@ -108,6 +161,7 @@ class CrossAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, context=None):
+        self_attn = context is None
         context = x if context is None else context
         inner = self.num_heads * self.head_dim
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
@@ -118,9 +172,20 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, sq, self.num_heads, self.head_dim)
         k = k.reshape(b, sk, self.num_heads, self.head_dim)
         v = v.reshape(b, sk, self.num_heads, self.head_dim)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(self.head_dim)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, sq, inner)
+        scale = 1.0 / math.sqrt(self.head_dim)
+        if (
+            self_attn
+            and FLASH_ATTENTION
+            and b * sq >= FLASH_MIN_TOKENS
+            and jax.default_backend() != "cpu"
+        ):
+            out = _flash_self_attention(
+                q, k, v, self.num_heads, self.head_dim, scale
+            )
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, sq, inner)
         return nn.Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
 
 
