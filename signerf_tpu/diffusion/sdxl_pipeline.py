@@ -264,6 +264,25 @@ class SDXLInpaintPipeline:
         if ctrl is None:
             ctrl = jnp.zeros((k_batch, h, w, 1), jnp.float32)
 
+        # Data-parallel per-view generation: with a "data" mesh axis, shard
+        # the view batch's leading dim over it (params replicated — see
+        # _shard_params) and let GSPMD partition the whole sampler. This is
+        # the multi-chip fast path for SURVEY.md §3.2's per-camera hot loop:
+        # K spliced sheets denoise simultaneously, one per chip group.
+        data_size = (
+            self.mesh.shape["data"]
+            if self.mesh is not None and "data" in self.mesh.axis_names
+            else 0
+        )
+        if data_size > 1 and k_batch % data_size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp = NamedSharding(self.mesh, P("data", None, None, None))
+            img = jax.device_put(img, dp)
+            ctrl = jax.device_put(ctrl, dp)
+            if msk is not None:
+                msk = jax.device_put(msk, dp)
+
         key = (
             k_batch, h, w, len(sigmas_np), msk is not None, mask_blur,
             inpainting_fill,
@@ -425,9 +444,14 @@ def tensor_parallel_pspecs(params: Dict[str, Any], axis: str = "tensor"):
 
 
 def _shard_params(params, mesh):
-    from jax.sharding import NamedSharding
+    """TP-shard params over the mesh's "tensor" axis if it has one;
+    otherwise (pure data-parallel mesh) replicate them."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    specs = tensor_parallel_pspecs(params)
+    if "tensor" in mesh.axis_names:
+        specs = tensor_parallel_pspecs(params)
+    else:
+        specs = jax.tree_util.tree_map(lambda _: P(), params)
     return jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )

