@@ -110,6 +110,7 @@ class SDXLInpaintPipeline:
         self.clip_l = CLIPTextModel(config.clip_l)
         self.clip_g = CLIPTextModel(config.clip_g)
         self._jit_cache: Dict[Tuple, Any] = {}
+        self._prompt_cache: Dict[Tuple[str, str], Any] = {}
 
     # ------------------------------------------------------------------
 
@@ -197,7 +198,14 @@ class SDXLInpaintPipeline:
     # ------------------------------------------------------------------
 
     def encode_prompt(self, prompt: str, negative_prompt: str = ""):
-        """-> (context [2, 77, D], pooled [2, P]) for (uncond, cond)."""
+        """-> (context [2, 77, D], pooled [2, P]) for (uncond, cond).
+
+        Cached per (prompt, negative): the per-view generation loop
+        (SURVEY.md §3.2) re-diffuses every dataset view with one prompt, so
+        re-running the two CLIP towers each call is pure dispatch waste."""
+        cached = self._prompt_cache.get((prompt, negative_prompt))
+        if cached is not None:
+            return cached
         ids = np.stack([self.tokenizer(negative_prompt), self.tokenizer(prompt)])
         ids = jnp.asarray(ids)
         _, pen_l, _ = self.clip_l.apply({"params": self.params["clip_l"]}, ids)
@@ -207,7 +215,11 @@ class SDXLInpaintPipeline:
         context = jnp.concatenate(
             [pen_l.astype(jnp.float32), pen_g.astype(jnp.float32)], axis=-1
         )
-        return context, proj_g.astype(jnp.float32)
+        out = (context, proj_g.astype(jnp.float32))
+        if len(self._prompt_cache) > 32:
+            self._prompt_cache.clear()
+        self._prompt_cache[(prompt, negative_prompt)] = out
+        return out
 
     # ------------------------------------------------------------------
     # main entry

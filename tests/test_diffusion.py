@@ -155,6 +155,13 @@ class TestTinyPipeline:
         assert ctx.shape == (2, 77, 32)  # 16 + 16 concat
         assert pooled.shape == (2, 16)
 
+    def test_prompt_encoding_cached(self, pipe):
+        a = pipe.encode_prompt("same prompt", "neg")
+        b = pipe.encode_prompt("same prompt", "neg")
+        assert a[0] is b[0] and a[1] is b[1]  # no CLIP re-run
+        c = pipe.encode_prompt("different prompt", "neg")
+        assert c[0] is not a[0]
+
     def test_diffuser_integration(self, pipe):
         """Diffuser(jax_sdxl) drives the pipeline through its knobs."""
         from signerf_tpu.diffusion.diffuser import Diffuser, DiffuserConfig
