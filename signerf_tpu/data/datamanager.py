@@ -113,6 +113,7 @@ class SIGNeRFDataManagerConfig:
     train_num_rays_per_batch: int = 4096
     eval_num_rays_per_batch: int = 4096
     patch_size: int = 1
+    micro_batches: int = 0  # 0: auto (ceil(num_rays/8192)); see SamplerSettings
     cache_images: int = -1  # -1: all on device; N>0: CachedImageStore subset
     cache_resample_every: int = 0  # resample subset every k batches (0: never)
 
@@ -151,10 +152,20 @@ class SIGNeRFDataManager:
 
         # Reference rule: any mask forces plain pixel sampling even with
         # patch_size > 1 (signerf_patch_pixel_sampler.py:53-57).
+        num_rays = self.config.train_num_rays_per_batch
+        micro = self.config.micro_batches
+        if micro <= 0:
+            # auto: keep live transients near the 8192-ray sweet spot
+            # (measured on v5e: 16384 monolithic = 71k rays/s vs 317k at
+            # 4096 — XLA spills; see SamplerSettings.micro_batches)
+            micro = max(1, -(-num_rays // 8192))
+            while num_rays % micro:
+                micro += 1
         return SamplerSettings(
-            num_rays=self.config.train_num_rays_per_batch,
+            num_rays=num_rays,
             patch_size=self.config.patch_size,
             use_mask=self.mask_indices is not None,
+            micro_batches=micro,
         )
 
 

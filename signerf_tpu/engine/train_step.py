@@ -64,6 +64,12 @@ class SamplerSettings:
     num_rays: int = 4096
     patch_size: int = 1  # >1 -> patch sampling (signerf: 32)
     use_mask: bool = False  # mask present -> plain sampling (reference rule)
+    micro_batches: int = 1
+    """Gradient-accumulation splits per optimizer step. Large ray batches
+    (signerf: 16384) blow past v5e HBM headroom and force XLA into
+    spill/remat — measured 71k rays/s at 16384 monolithic vs 317k at 4096.
+    M sequential micro-batches keep transients 1/M with identical gradient
+    semantics (equal-size micro-means average to the global mean)."""
 
 
 def _sample_indices(
@@ -113,6 +119,14 @@ def make_train_step(
             ld = mdl.loss_dict(outputs, batch)
             return sum(jax.tree_util.tree_leaves(ld)), ld
 
+    micro = max(1, int(settings.micro_batches))
+    assert settings.num_rays % micro == 0, (settings.num_rays, micro)
+    rays_per_patch = settings.patch_size * settings.patch_size
+    if settings.patch_size > 1 and not settings.use_mask:
+        assert (settings.num_rays // micro) % rays_per_patch == 0, (
+            "micro-batches must hold whole patches (LPIPS is patch-local)"
+        )
+
     def single_step(params, opt_state, step, images_u8, mask_indices, key):
         k_pix, k_model = jax.random.split(key)
         idx = _sample_indices(
@@ -122,14 +136,63 @@ def make_train_step(
         target = gather_pixels(images_u8, idx).astype(jnp.float32) / 255.0
         anneal = model.anneal(step)
 
-        def compute_loss(p):
+        def compute_loss(p, rb, target, idx, k_model):
             outputs = model.apply(p, rb, rng=k_model, train=True, anneal=anneal)
             total, ld = loss_fn(model, p, outputs, {"image": target, "indices": idx})
             return total, (ld, outputs)
 
-        (total, (ld, outputs)), grads = jax.value_and_grad(
-            compute_loss, has_aux=True
-        )(params)
+        if micro == 1:
+            (total, (ld, outputs)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True
+            )(params, rb, target, idx, k_model)
+            mse = jnp.mean((outputs["rgb"] - target) ** 2)
+        else:
+            # Gradient accumulation: lax.scan serializes the micro-batches,
+            # so XLA's live transients cover only num_rays/micro rays.
+            split = lambda x: x.reshape(micro, -1, *x.shape[1:])
+            rb_m = jax.tree_util.tree_map(split, rb)
+            tgt_m = split(target)
+            idx_m = split(idx)
+
+            def micro_body(carry, xs):
+                gsum, tsum, ldsum, msesum, i = carry
+                rb_i, tg_i, ix_i = xs
+                (tot, (ld, outputs)), g = jax.value_and_grad(
+                    compute_loss, has_aux=True
+                )(params, rb_i, tg_i, ix_i, jax.random.fold_in(k_model, i))
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                ldsum = jax.tree_util.tree_map(jnp.add, ldsum, ld)
+                mse_i = jnp.mean((outputs["rgb"] - tg_i) ** 2)
+                return (gsum, tsum + tot, ldsum, msesum + mse_i, i + 1), ()
+
+            zeros_like_tree = lambda t: jax.tree_util.tree_map(
+                lambda x: jnp.zeros(x.shape, x.dtype), t
+            )
+            g0 = zeros_like_tree(params)
+            # trace once to get loss-dict structure for the accumulator
+            _, (ld_struct, _) = jax.eval_shape(
+                lambda p: compute_loss(
+                    p,
+                    jax.tree_util.tree_map(lambda x: x[0], rb_m),
+                    tgt_m[0],
+                    idx_m[0],
+                    k_model,
+                ),
+                params,
+            )
+            ld0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), ld_struct
+            )
+            (gsum, tsum, ldsum, msesum, _), _ = jax.lax.scan(
+                micro_body,
+                (g0, jnp.zeros(()), ld0, jnp.zeros(()), jnp.zeros((), jnp.int32)),
+                (rb_m, tgt_m, idx_m),
+            )
+            inv = 1.0 / micro
+            grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
+            total = tsum * inv
+            ld = jax.tree_util.tree_map(lambda x: x * inv, ldsum)
+            mse = msesum * inv
         # Proposal update throttling (nerfacto parity: update every step
         # during warmup, then every `proposal_update_every` steps).
         mcfg = getattr(model, "config", None)
@@ -151,7 +214,6 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         metrics = dict(ld)
         metrics["total_loss"] = total
-        mse = jnp.mean((outputs["rgb"] - target) ** 2)
         if mesh is not None:
             mse = jax.lax.pmean(mse, "data")
         metrics["psnr"] = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))

@@ -104,6 +104,71 @@ class TestTrainStep:
         assert np.mean(losses[-3:]) < np.mean(losses[:3])
         assert all(np.isfinite(l) for l in losses)
 
+    def test_micro_batched_grads_match_monolithic(self, setup):
+        """Gradient accumulation (SamplerSettings.micro_batches) must be an
+        exact refactor of the monolithic step for an rng-independent model:
+        same key -> same sampled rays -> same averaged grads/metrics."""
+        _, _, cams, images = setup
+
+        class DummyModel:
+            """Deterministic toy 'field': rgb = sigmoid(W @ dir)."""
+
+            def init(self, rng):
+                return {"field": {"w": jax.random.normal(rng, (3, 3)) * 0.1}}
+
+            def anneal(self, step):
+                return 1.0
+
+            def apply(self, params, rb, rng=None, train=False, anneal=1.0):
+                rgb = jax.nn.sigmoid(rb.directions @ params["field"]["w"])
+                return {"rgb": rgb}
+
+            def loss_dict(self, outputs, batch):
+                return {
+                    "rgb_loss": jnp.mean(
+                        jnp.abs(outputs["rgb"] - batch["image"])
+                    )
+                }
+
+        model = DummyModel()
+        params = model.init(jax.random.PRNGKey(3))
+        opt = make_optimizer(OptimizersConfig(), params)
+        key = jax.random.PRNGKey(7)
+        results = []
+        for micro in (1, 4):
+            fn = make_train_step(
+                model, opt, cams,
+                SamplerSettings(num_rays=64, micro_batches=micro),
+                steps_per_call=2, donate=False,
+            )
+            state = TrainState.create(fresh(params), opt)
+            state, m = fn(state, images, None, key)
+            results.append((state.params, m))
+        (p1, m1), (p4, m4) = results
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p4)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        np.testing.assert_allclose(
+            float(m1["total_loss"]), float(m4["total_loss"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(m1["psnr"]), float(m4["psnr"]), rtol=1e-4
+        )
+
+    def test_micro_batched_nerfacto_step_runs(self, setup):
+        model, params, cams, images = setup
+        opt = make_optimizer(OptimizersConfig(), params)
+        step_fn = make_train_step(
+            model, opt, cams,
+            SamplerSettings(num_rays=64, patch_size=4, micro_batches=2),
+            steps_per_call=2,
+        )
+        state = TrainState.create(fresh(params), opt)
+        state, m = step_fn(state, images, None, jax.random.PRNGKey(0))
+        assert bool(jnp.isfinite(m["total_loss"]))
+        assert int(state.step) == 2
+
     def test_patch_sampling_step(self, setup):
         model, params, cams, images = setup
         opt = make_optimizer(OptimizersConfig(), params)
