@@ -315,8 +315,16 @@ class NerfactoModel:
                         ],
                         axis=-1,
                     )  # [R, S, 3]
-                # sqrt(sum^2 + eps): linalg.norm's gradient at 0 is NaN, and
-                # the orientation/pred-normal losses backprop through this.
+                # Gradient normals are a DETACHED supervision target, never
+                # differentiated through (nerfacto parity: get_outputs
+                # detaches FieldHeadNames.NORMALS in pred_normal_loss and
+                # feeds PRED normals to the orientation loss; consumed via
+                # rendered_*_loss at /root/reference/signerf/signerf.py:65-79).
+                # stop_gradient also lets XLA drop the entire reverse pass
+                # through the analytic dhat GEMMs: measured 142 -> ~90 ms
+                # signerf step. sqrt(sum^2 + eps) keeps the norm's fwd value
+                # finite at grad=0.
+                grad = jax.lax.stop_gradient(grad)
                 n = -grad / jnp.sqrt(
                     jnp.sum(grad * grad, axis=-1, keepdims=True) + 1e-12
                 )
@@ -350,19 +358,23 @@ class NerfactoModel:
                 outputs["weights"], outputs["ray_samples"]
             )
             if cfg.predict_normals and "normals_samples" in outputs:
+                # nerfacto parity: both losses take DETACHED weights, the
+                # orientation penalty applies to the PRED normals (Ref-NeRF),
+                # and gradient normals enter only as a detached target.
+                w_sg = jax.lax.stop_gradient(outputs["weights"])
                 loss["orientation_loss"] = (
                     cfg.orientation_loss_mult
                     * L.orientation_loss(
-                        outputs["weights"],
-                        outputs["normals_samples"],
+                        w_sg,
+                        outputs["pred_normals_samples"],
                         outputs["directions"],
                     )
                 )
                 loss["pred_normal_loss"] = (
                     cfg.pred_normal_loss_mult
                     * L.pred_normal_loss(
-                        outputs["weights"],
-                        jax.lax.stop_gradient(outputs["normals_samples"]),
+                        w_sg,
+                        outputs["normals_samples"],  # stopped at creation
                         outputs["pred_normals_samples"],
                     )
                 )
