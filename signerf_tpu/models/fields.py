@@ -312,27 +312,53 @@ def factor_density_geo_and_grad(
     ]  # each [N, 3] = d pos01 / d x_i
 
     enc_params = field_params["encoding"]
-    feats = []
-    dfeats01 = []  # derivative wrt pos01 axes
-    for lvl, res in enumerate(cfg.resolutions):
-        f_ax, df_ax = [], []
-        for ax in range(3):
-            line = enc_params[f"line_{lvl}_{ax}"].astype(dtype)
-            f_ax.append(hat_matrix(pos01[:, ax], res, dtype) @ line)
-            df_ax.append(dhat_matrix(pos01[:, ax], res, dtype) @ line)
-        feats.append(f_ax[0] * f_ax[1] * f_ax[2])
-        dfeats01.append(
-            jnp.stack(
-                [
-                    df_ax[0] * f_ax[1] * f_ax[2],
-                    f_ax[0] * df_ax[1] * f_ax[2],
-                    f_ax[0] * f_ax[1] * df_ax[2],
-                ],
-                axis=-2,
-            )
+    from signerf_tpu.ops import fused_factor_pallas as ffp
+    from signerf_tpu.ops.factor_grid import _encode_fused, use_fused_kernel
+
+    if use_fused_kernel() or ffp.FORCE_INTERPRET:
+        # Fused Pallas path: primal through the differentiable encode kernel
+        # (existing custom_vjp), derivatives through the forward-only grad
+        # kernel. dfeat is stop_gradient'd — gradient normals are a detached
+        # supervision target (nerfacto parity, see loss_dict), so no
+        # backward through dhat is ever needed. vs the XLA hat/dhat GEMMs
+        # this avoids 6 [N, res] HBM materializations per level.
+        lines_t = tuple(
+            tuple(enc_params[f"line_{lvl}_{ax}"] for ax in range(3))
+            for lvl in range(len(cfg.resolutions))
         )
-    feat = jnp.concatenate(feats, axis=-1).astype(jnp.float32)  # [N, D]
-    dfeat01 = jnp.concatenate(dfeats01, axis=-1).astype(jnp.float32)  # [N,3,D]
+        feat = _encode_fused(cfg, lines_t, pos01)  # [N, D]
+        packed = ffp.pack_tables(cfg.resolutions, lines_t)
+        dfeat01 = jax.lax.stop_gradient(
+            ffp.fused_factor_grad_tpu(
+                cfg.resolutions,
+                cfg.features_per_level,
+                packed,
+                pos01,
+                ffp.FORCE_INTERPRET,
+            )
+        )  # [N, 3, D]
+    else:
+        feats = []
+        dfeats01 = []  # derivative wrt pos01 axes
+        for lvl, res in enumerate(cfg.resolutions):
+            f_ax, df_ax = [], []
+            for ax in range(3):
+                line = enc_params[f"line_{lvl}_{ax}"].astype(dtype)
+                f_ax.append(hat_matrix(pos01[:, ax], res, dtype) @ line)
+                df_ax.append(dhat_matrix(pos01[:, ax], res, dtype) @ line)
+            feats.append(f_ax[0] * f_ax[1] * f_ax[2])
+            dfeats01.append(
+                jnp.stack(
+                    [
+                        df_ax[0] * f_ax[1] * f_ax[2],
+                        f_ax[0] * df_ax[1] * f_ax[2],
+                        f_ax[0] * f_ax[1] * df_ax[2],
+                    ],
+                    axis=-2,
+                )
+            )
+        feat = jnp.concatenate(feats, axis=-1).astype(jnp.float32)  # [N, D]
+        dfeat01 = jnp.concatenate(dfeats01, axis=-1).astype(jnp.float32)
 
     # chain rule to world axes: dfeat/dx_i = sum_j dfeat01[:, j] * J[:, j, i]
     jac = jnp.stack(jac_cols, axis=-1)  # [N, 3(pos01 j), 3(world i)]

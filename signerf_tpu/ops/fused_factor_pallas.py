@@ -230,6 +230,175 @@ def fused_factor_encode_tpu(
     return out_t[:, :n].T  # [N, D]
 
 
+def _make_grad_kernel(resolutions: Tuple[int, ...], feat: int, blk: int):
+    """Forward-only spatial-derivative kernel: emits d feat / d u for the
+    three pos01 axes, [3*D, BLK] axis-major. Same table/gather structure as
+    the encode kernel — dhat is the banded derivative of the same hat (the
+    9-tap t1 gather is shared per axis, only the tap weights differ).
+
+    No backward exists or is needed: gradient normals are a DETACHED
+    supervision target (see models/nerfacto.py loss_dict — nerfacto parity),
+    so callers wrap this output in stop_gradient.
+    """
+    small_res, large_res = _split_levels(resolutions)
+    n_small = len(small_res)
+    out_dim = len(resolutions) * feat
+
+    def kernel(coords_ref, scale_ref, offset_ref, small_x, small_y, small_z,
+               *large_refs, out_ref):
+        smalls = (small_x, small_y, small_z)
+        if n_small:
+            fs, ds = [], []
+            for ax in range(3):
+                u = coords_ref[ax : ax + 1, :]  # [1, BLK]
+                z = scale_ref[:, :] * u - offset_ref[:, :]  # [R_s_pad, BLK]
+                hat = jnp.maximum(0.0, 1.0 - jnp.abs(z)).astype(jnp.bfloat16)
+                dhat = (
+                    -jnp.sign(z)
+                    * (jnp.abs(z) < 1.0).astype(jnp.float32)
+                    * scale_ref[:, :]
+                ).astype(jnp.bfloat16)
+                fs.append(
+                    jax.lax.dot_general(
+                        smalls[ax][:, :], hat, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+                ds.append(
+                    jax.lax.dot_general(
+                        smalls[ax][:, :], dhat, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            for ax in range(3):
+                o1, o2 = (ax + 1) % 3, (ax + 2) % 3
+                out_ref[ax * out_dim : ax * out_dim + n_small * feat, :] = (
+                    ds[ax] * fs[o1] * fs[o2]
+                )
+        for li, res in enumerate(large_res):
+            r1 = _num_blocks(res)
+            r1_pad = _round_up(r1, 8)
+            f_l, d_l = [], []
+            for ax in range(3):
+                u = coords_ref[ax : ax + 1, :]
+                blocks = large_refs[li * 3 + ax]  # [9F, r1_pad]
+                xl = u * (res - 1)
+                a = jnp.clip(jnp.floor(xl * (1.0 / TAP_BLOCK)), 0, r1 - 1)
+                x_loc = xl - a * TAP_BLOCK
+                sub = jax.lax.broadcasted_iota(jnp.int32, (r1_pad, blk), 0)
+                onehot = (sub.astype(jnp.float32) == a).astype(jnp.bfloat16)
+                t1 = jax.lax.dot_general(
+                    blocks[:, :], onehot, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [9F, BLK]
+                facc = dacc = None
+                for c in range(TAP_BLOCK + 1):
+                    d = x_loc - c
+                    w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+                    dw = (
+                        -jnp.sign(d)
+                        * (jnp.abs(d) < 1.0).astype(jnp.float32)
+                        * (res - 1)
+                    )
+                    t = t1[c * feat : (c + 1) * feat, :]
+                    facc = w * t if facc is None else facc + w * t
+                    dacc = dw * t if dacc is None else dacc + dw * t
+                f_l.append(facc)
+                d_l.append(dacc)
+            off = (n_small + li) * feat
+            for ax in range(3):
+                o1, o2 = (ax + 1) % 3, (ax + 2) % 3
+                out_ref[ax * out_dim + off : ax * out_dim + off + feat, :] = (
+                    d_l[ax] * f_l[o1] * f_l[o2]
+                )
+
+    return kernel, small_res, large_res, out_dim
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 4))
+def fused_factor_grad_tpu(
+    resolutions: Tuple[int, ...],
+    feat: int,
+    packed: Tuple,
+    coords01: jnp.ndarray,  # [N, 3] f32, pre-clipped to [0, 1]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """-> dfeat/du [N, 3, D] f32 (derivative wrt the pos01 axes; matches
+    ops/factor_grid.dhat_matrix semantics).
+
+    DETACHED by construction: the custom_vjp returns zero cotangents
+    (gradient normals are supervision targets — nerfacto parity). A plain
+    stop_gradient on the output is not enough: reverse-mode linearization
+    still tries to push tangents through the pallas_call, which has no JVP
+    rule."""
+    return _fused_factor_grad_impl(resolutions, feat, packed, coords01, interpret)
+
+
+def _fused_grad_fwd(resolutions, feat, packed, coords01, interpret):
+    out = _fused_factor_grad_impl(resolutions, feat, packed, coords01, interpret)
+    return out, (packed, coords01)
+
+
+def _fused_grad_bwd(resolutions, feat, interpret, residuals, g):
+    packed, coords01 = residuals
+    zeros = lambda t: jax.tree_util.tree_map(jnp.zeros_like, t)
+    return zeros(packed), zeros(coords01)
+
+
+fused_factor_grad_tpu.defvjp(_fused_grad_fwd, _fused_grad_bwd)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def _fused_factor_grad_impl(
+    resolutions: Tuple[int, ...],
+    feat: int,
+    packed: Tuple,
+    coords01: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    blk = 1024
+    n = coords01.shape[0]
+    n_pad = _round_up(max(n, blk), blk)
+    coords_t = coords01.T
+    if n_pad != n:
+        coords_t = jnp.pad(coords_t, ((0, 0), (0, n_pad - n)))
+
+    kernel, small_res, large_res, out_dim = _make_grad_kernel(
+        resolutions, feat, blk
+    )
+    smalls, larges = packed
+    s_scale, s_offset = small_meta(small_res)
+    scale_arr = jnp.asarray(s_scale)
+    offset_arr = jnp.asarray(s_offset)
+
+    def body(coords_ref, *refs):
+        *in_refs, out_ref = refs
+        kernel(coords_ref, *in_refs, out_ref=out_ref)
+
+    grid = (n_pad // blk,)
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((3, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        full(scale_arr.shape),
+        full(offset_arr.shape),
+        *[full(s.shape) for s in smalls],
+        *[full(b.shape) for b in larges],
+    ]
+    out_t = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (3 * out_dim, blk), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((3 * out_dim, n_pad), jnp.float32),
+        interpret=interpret,
+    )(coords_t, scale_arr, offset_arr, *smalls, *larges)
+    return out_t[:, :n].T.reshape(n, 3, out_dim)
+
+
 def pack_tables(
     resolutions: Tuple[int, ...],
     lines: Sequence[Sequence[jnp.ndarray]],  # [level][axis] -> [res, F]

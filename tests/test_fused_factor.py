@@ -117,3 +117,44 @@ def test_pack_shapes():
     for b in larges:
         assert b.shape[0] == (ffp.TAP_BLOCK + 1) * cfg.features_per_level
         assert b.shape[1] % 8 == 0
+
+
+@pytest.mark.parametrize("name", ["final", "proposal"])
+def test_grad_kernel_matches_xla_dhat(name):
+    """fused_factor_grad_tpu vs the XLA hat/dhat product-rule reference
+    (the path models/fields.py uses on CPU)."""
+    from signerf_tpu.ops.factor_grid import dhat_matrix, hat_matrix
+
+    cfg = CONFIGS[name]
+    lines = make_lines(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (300, 3))  # non-multiple N
+
+    dfeats = []
+    for lvl, res in enumerate(cfg.resolutions):
+        f_ax, df_ax = [], []
+        for ax in range(3):
+            line = lines[lvl][ax].astype(jnp.bfloat16)
+            f_ax.append(hat_matrix(x[:, ax], res, jnp.bfloat16) @ line)
+            df_ax.append(dhat_matrix(x[:, ax], res, jnp.bfloat16) @ line)
+        dfeats.append(
+            jnp.stack(
+                [
+                    df_ax[0] * f_ax[1] * f_ax[2],
+                    f_ax[0] * df_ax[1] * f_ax[2],
+                    f_ax[0] * f_ax[1] * df_ax[2],
+                ],
+                axis=-2,
+            )
+        )
+    ref = np.asarray(jnp.concatenate(dfeats, axis=-1).astype(jnp.float32))
+
+    packed = ffp.pack_tables(cfg.resolutions, lines)
+    out = np.asarray(
+        ffp.fused_factor_grad_tpu(
+            cfg.resolutions, cfg.features_per_level, packed, x, True
+        )
+    )
+    assert out.shape == ref.shape == (300, 3, len(cfg.resolutions) * cfg.features_per_level)
+    # derivative magnitudes scale with (res-1); tolerance relative to range
+    tol = 0.02 * max(np.abs(ref).max(), 1e-3)
+    np.testing.assert_allclose(out, ref, atol=tol)
