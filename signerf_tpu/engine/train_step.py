@@ -258,6 +258,7 @@ def make_train_step(
 def make_eval_render(
     model,
     chunk_size: int = 1 << 15,
+    mesh: Optional[Mesh] = None,
 ):
     """Chunked full-image renderer (parity:
     `get_outputs_for_camera_ray_bundle`, eval_num_rays_per_chunk=1<<15,
@@ -265,8 +266,11 @@ def make_eval_render(
 
     Returns ``render(params, ray_bundle_flat) -> outputs`` where the flat
     bundle is padded to a chunk multiple and processed by `lax.map` over
-    chunks (static shapes, single compile).
+    chunks (static shapes, single compile). With ``mesh``, rays shard over
+    the "data" axis (params replicated) — full-frame renders in the
+    generation loop scale ~linearly over ICI.
     """
+    n_shards = mesh.shape["data"] if mesh is not None else 1
 
     @functools.partial(
         jax.jit, static_argnames=("num_rays", "appearance_mode")
@@ -287,11 +291,38 @@ def make_eval_render(
         chunked = jax.tree_util.tree_map(
             lambda x: x.reshape(num_chunks, chunk_size, *x.shape[1:]), bundle
         )
-        return jax.lax.map(render_chunk, chunked)
+        if mesh is None:
+            return jax.lax.map(render_chunk, chunked)
+
+        def shard_body(p, chunked_local):
+            def chunk_fn(c):
+                out = model.apply(
+                    p, c, train=False, appearance_mode=appearance_mode
+                )
+                return {
+                    "rgb": out["rgb"],
+                    "depth": out["depth"],
+                    "expected_depth": out["expected_depth"],
+                    "accumulation": out["accumulation"],
+                }
+
+            return jax.lax.map(chunk_fn, chunked_local)
+
+        return jax.shard_map(
+            shard_body,
+            mesh=mesh,
+            in_specs=(
+                P(),
+                jax.tree_util.tree_map(lambda _: P("data"), chunked),
+            ),
+            out_specs=P("data"),
+            check_vma=False,
+        )(params, chunked)
 
     def render(params, bundle_flat, appearance_mode=None):
         n = bundle_flat.origins.shape[0]
-        padded_n = ((n + chunk_size - 1) // chunk_size) * chunk_size
+        quantum = chunk_size * n_shards
+        padded_n = ((n + quantum - 1) // quantum) * quantum
         pad = padded_n - n
         bundle = jax.tree_util.tree_map(
             lambda x: jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)], 0)

@@ -71,7 +71,9 @@ class SIGNeRFPipeline:
         )
         self.params = self.model.init(jax.random.PRNGKey(seed))
         self._render = make_eval_render(
-            self.model, chunk_size=min(config.model.eval_num_rays_per_chunk, 8192)
+            self.model,
+            chunk_size=min(config.model.eval_num_rays_per_chunk, 8192),
+            mesh=mesh if (mesh is not None and "data" in mesh.axis_names) else None,
         )
 
         outputs = self.datamanager.outputs

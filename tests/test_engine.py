@@ -222,6 +222,31 @@ class TestTrainStep:
             np.asarray(out2["rgb"]), np.asarray(out["rgb"][:100]), atol=1e-5
         )
 
+    def test_eval_render_mesh_sharded_matches_single(self, setup):
+        """Ray-sharded full-frame render (generation path on a mesh) must
+        match the single-device renderer."""
+        model, params, cams, _ = setup
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = get_mesh(8)
+        render1 = make_eval_render(model, chunk_size=16)
+        render8 = make_eval_render(model, chunk_size=16, mesh=mesh)
+        rb = cams.generate_rays(0)
+        flat = rb.reshape((cams.height * cams.width,))
+        ref = render1(params, flat)
+        out = render8(params, flat)
+        assert out["rgb"].shape == ref["rgb"].shape
+        np.testing.assert_allclose(
+            np.asarray(out["rgb"]), np.asarray(ref["rgb"]), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["depth"]), np.asarray(ref["depth"]), atol=2e-2
+        )
+        # non-multiple ray count exercises the chunk*n_shards padding path
+        sub = jax.tree_util.tree_map(lambda x: x[:100], flat)
+        out2 = render8(params, sub)
+        assert out2["rgb"].shape == (100, 3)
+
 
 class TestCheckpoints:
     def test_roundtrip(self, setup, tmp_path):
