@@ -118,6 +118,22 @@ class SIGNeRFDataManagerConfig:
     cache_resample_every: int = 0  # resample subset every k batches (0: never)
 
 
+def auto_micro_batches(num_rays: int, patch_size: int, use_mask: bool) -> int:
+    """Smallest gradient-accumulation split that (a) divides num_rays,
+    (b) keeps micro-batches near the measured 8192-ray HBM sweet spot
+    (v5e: 16384 monolithic = 71k rays/s vs 317k at 4096 — XLA spills),
+    and (c) holds whole patches when patch sampling is active (LPIPS is
+    patch-local). Falls back to monolithic when no such split exists
+    within a sane bound — a prime ray count must not degenerate into
+    thousands of single-ray micro-batches."""
+    grain = patch_size * patch_size if (patch_size > 1 and not use_mask) else 1
+    target = max(1, -(-num_rays // 8192))
+    for m in range(target, 65):
+        if num_rays % m == 0 and (num_rays // m) % grain == 0:
+            return m
+    return 1
+
+
 class SIGNeRFDataManager:
     """Owns the parsed dataset + device-side image stack."""
 
@@ -153,18 +169,15 @@ class SIGNeRFDataManager:
         # Reference rule: any mask forces plain pixel sampling even with
         # patch_size > 1 (signerf_patch_pixel_sampler.py:53-57).
         num_rays = self.config.train_num_rays_per_batch
+        use_mask = self.mask_indices is not None
+        patch = self.config.patch_size
         micro = self.config.micro_batches
         if micro <= 0:
-            # auto: keep live transients near the 8192-ray sweet spot
-            # (measured on v5e: 16384 monolithic = 71k rays/s vs 317k at
-            # 4096 — XLA spills; see SamplerSettings.micro_batches)
-            micro = max(1, -(-num_rays // 8192))
-            while num_rays % micro:
-                micro += 1
+            micro = auto_micro_batches(num_rays, patch, use_mask)
         return SamplerSettings(
             num_rays=num_rays,
-            patch_size=self.config.patch_size,
-            use_mask=self.mask_indices is not None,
+            patch_size=patch,
+            use_mask=use_mask,
             micro_batches=micro,
         )
 

@@ -90,17 +90,21 @@ class SDXLInpaintPipeline:
         assert _context_dim(config) == config.unet.cross_attention_dim, (
             "UNet cross_attention_dim must equal concat CLIP hidden sizes"
         )
+        if mesh is not None and config.unet.use_flash_attention:
+            # The pallas flash-attention call is opaque to GSPMD: TP
+            # head-sharded or DP batch-sharded activations would be
+            # all-gathered at the kernel boundary. Per-instance override —
+            # other (unmeshed) pipelines in the process keep flash.
+            config = dataclasses.replace(
+                config,
+                unet=dataclasses.replace(
+                    config.unet, use_flash_attention=False
+                ),
+            )
         self.config = config
         self.params = params
         self.tokenizer = tokenizer
         self.mesh = mesh
-        if mesh is not None:
-            # The pallas flash-attention call is opaque to GSPMD: with
-            # head-sharded activations it would force an all-gather (or fail
-            # to partition). TP runs keep the einsum path, which XLA shards.
-            from signerf_tpu.diffusion.unet import set_flash_attention
-
-            set_flash_attention(False)
         self.unet = UNet2DConditionModel(config.unet)
         self.controlnet = ControlNet(
             config.unet,

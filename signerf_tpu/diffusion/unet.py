@@ -43,6 +43,11 @@ class UNetConfig:
     projection_class_embeddings_input_dim: int = 2816  # 1280 + 6*256
     flip_sin_to_cos: bool = True
     freq_shift: int = 0
+    use_flash_attention: bool = True
+    """Allow the pallas flash path for huge self-attention (see gate below).
+    Meshed pipelines set this False PER INSTANCE: the pallas call is opaque
+    to GSPMD, so TP head-sharded or DP batch-sharded activations would be
+    all-gathered at the kernel boundary."""
 
 
 SDXL_UNET_CONFIG = UNetConfig()
@@ -114,18 +119,15 @@ class ResnetBlock2D(nn.Module):
 # yields multi-view-consistent edits), so naive [B, h, S, S] score
 # materialization is the UNet's HBM hot spot — a 3x3 sheet at 1536 px hits
 # S=36864 tokens (scores would be 2.7 GB per batch element per layer).
-# Disable (set_flash_attention(False)) when sharding heads tensor-parallel:
-# the pallas call is opaque to GSPMD.
-#
-# Threshold is on TOTAL tokens (batch * seq): naive-score memory is
-# B*H*S^2, so batched per-view sheets hit the wall at the same B*S as a
-# single bigger sheet. Measured on 1x v5e: at B=1 S=9216 (3x3 sheet at
-# 1536 px) the XLA einsum path is 2.4x FASTER than the flash kernel
-# (10.3 vs 24.8 ms), while at S=36864 the einsum path fails to allocate
-# outright and flash runs fine — so flash is the memory-ceiling escape
-# hatch, not the default.
-FLASH_ATTENTION = True
-FLASH_MIN_TOKENS = 16384
+# Gate on the naive path's SCORE-TENSOR FOOTPRINT, B*H*S^2 bf16 bytes —
+# not token count (at fixed B*S the memory still scales with S, so a big
+# batch of small-S views is nowhere near the wall of one huge sheet).
+# Measured on 1x v5e: at B=1 S=9216 H=10 (1.7 GB scores) the XLA einsum
+# path is 2.4x FASTER than the flash kernel (10.3 vs 24.8 ms); at S=36864
+# (27 GB) the einsum path fails to allocate outright and flash runs fine —
+# flash is the memory-ceiling escape hatch, not the default.
+FLASH_ATTENTION = True  # process-wide kill switch (tests/drives)
+FLASH_SCORE_BYTES_THRESHOLD = 4 << 30
 
 
 def set_flash_attention(enabled: bool) -> None:
@@ -165,6 +167,7 @@ class CrossAttention(nn.Module):
     num_heads: int
     head_dim: int
     dtype: jnp.dtype = jnp.bfloat16
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x, context=None):
@@ -180,10 +183,12 @@ class CrossAttention(nn.Module):
         k = k.reshape(b, sk, self.num_heads, self.head_dim)
         v = v.reshape(b, sk, self.num_heads, self.head_dim)
         scale = 1.0 / math.sqrt(self.head_dim)
+        score_bytes = 2 * b * self.num_heads * sq * sk
         if (
             self_attn
+            and self.use_flash
             and FLASH_ATTENTION
-            and b * sq >= FLASH_MIN_TOKENS
+            and score_bytes >= FLASH_SCORE_BYTES_THRESHOLD
             and jax.default_backend() != "cpu"
         ):
             out = _flash_self_attention(
@@ -211,12 +216,14 @@ class BasicTransformerBlock(nn.Module):
     num_heads: int
     head_dim: int
     dtype: jnp.dtype = jnp.bfloat16
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x, context):
         h = LayerNormBF16(name="norm1")(x)
         x = x + CrossAttention(
-            self.num_heads, self.head_dim, self.dtype, name="attn1"
+            self.num_heads, self.head_dim, self.dtype, self.use_flash,
+            name="attn1",
         )(h)
         h = LayerNormBF16(name="norm2")(x)
         x = x + CrossAttention(
@@ -234,6 +241,7 @@ class Transformer2D(nn.Module):
     head_dim: int
     groups: int
     dtype: jnp.dtype = jnp.bfloat16
+    use_flash: bool = True
 
     @nn.compact
     def __call__(self, x, context):
@@ -243,7 +251,8 @@ class Transformer2D(nn.Module):
         y = nn.Dense(c, dtype=self.dtype, name="proj_in")(y.reshape(b, h * w, c))
         for i in range(self.depth):
             y = BasicTransformerBlock(
-                self.num_heads, self.head_dim, self.dtype, name=f"blocks_{i}"
+                self.num_heads, self.head_dim, self.dtype, self.use_flash,
+                name=f"blocks_{i}",
             )(y, context)
         y = nn.Dense(c, dtype=self.dtype, name="proj_out")(y)
         return res + y.reshape(b, h, w, c)
@@ -319,7 +328,8 @@ class UNetCore(nn.Module):
                 if depth > 0:
                     h = Transformer2D(
                         depth, heads, cfg.attention_head_dim, cfg.norm_groups,
-                        self.dtype, name=f"down_{i}_attn_{j}",
+                        self.dtype, cfg.use_flash_attention,
+                        name=f"down_{i}_attn_{j}",
                     )(h, context)
                 residuals.append(h)
             if i < len(chans) - 1:
@@ -338,7 +348,7 @@ class UNetCore(nn.Module):
         if mid_depth > 0:
             h = Transformer2D(
                 mid_depth, mid_heads, cfg.attention_head_dim, cfg.norm_groups,
-                self.dtype, name="mid_attn",
+                self.dtype, cfg.use_flash_attention, name="mid_attn",
             )(h, context)
         h = ResnetBlock2D(
             chans[-1], cfg.norm_groups, self.dtype, name="mid_res_2"
@@ -368,7 +378,8 @@ class UNetCore(nn.Module):
                 if depth > 0:
                     h = Transformer2D(
                         depth, heads, cfg.attention_head_dim, cfg.norm_groups,
-                        self.dtype, name=f"up_{i}_attn_{j}",
+                        self.dtype, cfg.use_flash_attention,
+                        name=f"up_{i}_attn_{j}",
                     )(h, context)
             if i < len(chans) - 1:
                 b, hh, ww, c = h.shape

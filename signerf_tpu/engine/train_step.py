@@ -68,8 +68,11 @@ class SamplerSettings:
     """Gradient-accumulation splits per optimizer step. Large ray batches
     (signerf: 16384) blow past v5e HBM headroom and force XLA into
     spill/remat — measured 71k rays/s at 16384 monolithic vs 317k at 4096.
-    M sequential micro-batches keep transients 1/M with identical gradient
-    semantics (equal-size micro-means average to the global mean)."""
+    M sequential micro-batches keep transients 1/M. Gradients are exact
+    (equal-size micro-means average to the global mean) for the
+    deterministic parts of the model; the per-forward rng is folded per
+    micro-batch, so rng-driven stochasticity (proposal jitter) takes
+    different — equally valid — draws than the monolithic step."""
 
 
 def _sample_indices(
@@ -276,25 +279,7 @@ def make_eval_render(
         jax.jit, static_argnames=("num_rays", "appearance_mode")
     )
     def _render_padded(params, bundle, num_rays: int, appearance_mode):
-        def render_chunk(chunk):
-            out = model.apply(
-                params, chunk, train=False, appearance_mode=appearance_mode
-            )
-            return {
-                "rgb": out["rgb"],
-                "depth": out["depth"],
-                "expected_depth": out["expected_depth"],
-                "accumulation": out["accumulation"],
-            }
-
-        num_chunks = num_rays // chunk_size
-        chunked = jax.tree_util.tree_map(
-            lambda x: x.reshape(num_chunks, chunk_size, *x.shape[1:]), bundle
-        )
-        if mesh is None:
-            return jax.lax.map(render_chunk, chunked)
-
-        def shard_body(p, chunked_local):
+        def render_chunks(p, chunked_local):
             def chunk_fn(c):
                 out = model.apply(
                     p, c, train=False, appearance_mode=appearance_mode
@@ -308,8 +293,15 @@ def make_eval_render(
 
             return jax.lax.map(chunk_fn, chunked_local)
 
+        num_chunks = num_rays // chunk_size
+        chunked = jax.tree_util.tree_map(
+            lambda x: x.reshape(num_chunks, chunk_size, *x.shape[1:]), bundle
+        )
+        if mesh is None:
+            return render_chunks(params, chunked)
+
         return jax.shard_map(
-            shard_body,
+            render_chunks,
             mesh=mesh,
             in_specs=(
                 P(),

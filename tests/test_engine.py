@@ -293,3 +293,27 @@ class TestCheckpoints:
         a_fresh = fresh["field"]["appearance"]["embedding"]
         a_rest = restored["field"]["appearance"]["embedding"]
         np.testing.assert_allclose(np.asarray(a_fresh), np.asarray(a_rest))
+
+
+class TestAutoMicroBatches:
+    def test_patch_constraint_respected(self):
+        from signerf_tpu.data.datamanager import auto_micro_batches
+
+        # 9216 rays = 9 patches of 32x32: ceil(9216/8192)=2 does not hold
+        # whole patches (4608 % 1024 != 0) -> must pick 3 (3072 = 3 patches)
+        m = auto_micro_batches(9216, 32, False)
+        assert m == 3
+        assert (9216 // m) % (32 * 32) == 0
+
+        # 16384 with 32px patches: 2 splits of 8192 = 8 patches each
+        assert auto_micro_batches(16384, 32, False) == 2
+        # masks force plain sampling -> no patch constraint
+        assert auto_micro_batches(16384, 32, True) == 2
+        # small batches stay monolithic
+        assert auto_micro_batches(4096, 1, False) == 1
+
+    def test_prime_ray_count_falls_back_to_monolithic(self):
+        from signerf_tpu.data.datamanager import auto_micro_batches
+
+        assert auto_micro_batches(8209, 1, False) == 1  # prime
+        assert auto_micro_batches(65536, 1, False) == 8
