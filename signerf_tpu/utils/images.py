@@ -25,6 +25,10 @@ def array_to_image(arr) -> "PIL.Image.Image":
     a = np.asarray(arr)
     if a.dtype == bool:
         a = a.astype(np.float32)
+    # NaN/inf guard: background rays have inf depth, and random-weight
+    # diffusion runs can emit NaN pixels — map to black instead of letting
+    # the uint8 cast produce undefined values.
+    a = np.nan_to_num(a, nan=0.0, posinf=1.0, neginf=0.0)
     a = np.clip(a, 0.0, 1.0)
     a = (a * 255.0).astype(np.uint8)
     if a.ndim == 3 and a.shape[-1] == 1:
