@@ -127,7 +127,11 @@ class ResnetBlock2D(nn.Module):
 # (27 GB) the einsum path fails to allocate outright and flash runs fine —
 # flash is the memory-ceiling escape hatch, not the default.
 FLASH_ATTENTION = True  # process-wide kill switch (tests/drives)
-FLASH_SCORE_BYTES_THRESHOLD = 4 << 30
+# 2 GB: B=1 S=9216 H=10 (1.7 GB, einsum measured 2.4x faster) stays naive;
+# the CFG-batched 3x3 sheet (B=2, 3.4 GB scores) goes flash — measured
+# RESOURCE_EXHAUSTED on 16 GB v5e under a 4 GB threshold with the 5 GB
+# bf16 weight stack resident.
+FLASH_SCORE_BYTES_THRESHOLD = 2 << 30
 
 
 def set_flash_attention(enabled: bool) -> None:
