@@ -393,8 +393,21 @@ class SDXLInpaintPipeline:
         from signerf_tpu.diffusion.unet import FLASH_SCORE_BYTES_THRESHOLD
 
         lat_h, lat_w = h // f, w // f
-        top_attn_tokens = (lat_h // 2) * (lat_w // 2)
-        batched_score_bytes = 2 * (2 * k_batch) * 10 * top_attn_tokens**2
+        # Largest per-element self-attention score term, derived from the
+        # UNet config (block i attends at latent>>i; heads = ch/head_dim) so
+        # this mirrors the per-layer flash gate in unet.py for ANY config,
+        # not just SDXL's (10 heads, half-res).
+        ucfg = self.unet.config
+        worst_scores = max(
+            (
+                (ch // ucfg.attention_head_dim)
+                * ((lat_h >> i) * (lat_w >> i)) ** 2
+                for i, ch in enumerate(ucfg.block_out_channels)
+                if ucfg.transformer_layers[i] > 0
+            ),
+            default=0,
+        )
+        batched_score_bytes = 2 * (2 * k_batch) * worst_scores
         sequential_cfg = batched_score_bytes >= FLASH_SCORE_BYTES_THRESHOLD
 
         ctx_u = jnp.repeat(context[:1], k_batch, 0)

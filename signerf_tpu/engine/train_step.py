@@ -62,6 +62,10 @@ class SamplerSettings:
     """Static sampling knobs (shapes must be compile-time constants)."""
 
     num_rays: int = 4096
+    """GLOBAL ray batch per optimizer step (reference semantics:
+    train_num_rays_per_batch, signerf_config.py:27). With a mesh,
+    make_train_step divides this across the data axis so a v5e-8 run
+    trains with the same effective batch as a single chip."""
     patch_size: int = 1  # >1 -> patch sampling (signerf: 32)
     use_mask: bool = False  # mask present -> plain sampling (reference rule)
     micro_batches: int = 1
@@ -115,6 +119,24 @@ def make_train_step(
     """
     num_images = len(cameras)
     height, width = cameras.height, cameras.width
+
+    if mesh is not None:
+        # settings.num_rays is the GLOBAL batch: each device samples
+        # num_rays / n_dev and pmean merges grads, so the effective batch
+        # matches a single-device run (reference hyperparameters are tuned
+        # for 16,384 global rays, signerf_config.py:27). Micro-batching
+        # shrinks by the same factor — per-device transients already
+        # dropped by n_dev, keeping each micro-step at the same ray count.
+        n_dev = int(mesh.shape["data"])
+        assert settings.num_rays % n_dev == 0, (
+            f"global num_rays={settings.num_rays} must be divisible by "
+            f"mesh data size {n_dev}"
+        )
+        settings = dataclasses.replace(
+            settings,
+            num_rays=settings.num_rays // n_dev,
+            micro_batches=max(1, settings.micro_batches // n_dev),
+        )
 
     if loss_fn is None:
 

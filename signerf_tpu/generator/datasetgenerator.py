@@ -558,7 +558,7 @@ class DatasetGenerator:
         self.setup_renderer()
         self.is_synthetic = synthetic_camera_to_worlds is not None
 
-        start = time.time()
+        t_start = time.time()
         ref_cams = self._cameras_from_poses(
             np.asarray(reference_camera_to_worlds)
         )
@@ -655,6 +655,6 @@ class DatasetGenerator:
 
         print(
             f"[generator] dataset generated in "
-            f"{(time.time() - start) / 60:.2f} minutes -> {self.dataset_path}"
+            f"{(time.time() - t_start) / 60:.2f} minutes -> {self.dataset_path}"
         )
         return self.dataset_path

@@ -275,6 +275,7 @@ def factor_density_geo_and_grad(
     field_params,
     positions: jnp.ndarray,  # [..., 3] world
     field: "NerfactoField",
+    differentiable_grad: bool = False,
 ):
     """(density [...], geo [..., G], ddensity/dx [..., 3]) with ANALYTIC
     spatial gradients — no autodiff through the encode.
@@ -285,6 +286,14 @@ def factor_density_geo_and_grad(
     Pure function over the field's param subtree so it composes with the
     training loss as ordinary first-order reverse-mode (the jax.grad-based
     normals made the loss second-order, measured ~2x the whole train step).
+
+    ``differentiable_grad``: when True, the returned ddensity/dx supports
+    reverse-mode wrt the encoding tables — required by the reference
+    orientation-loss semantics (nerfstudio backprops through the gradient
+    normals into the density field). This forces the XLA hat/dhat GEMM path
+    because the fused Pallas grad kernel is forward-only (its output is
+    stop_gradient'd). When False (eval, or fast_normals_losses=True), the
+    fused kernel is used where available.
     """
     from signerf_tpu.ops.factor_grid import (
         FactorGridConfig,
@@ -315,13 +324,14 @@ def factor_density_geo_and_grad(
     from signerf_tpu.ops import fused_factor_pallas as ffp
     from signerf_tpu.ops.factor_grid import _encode_fused, use_fused_kernel
 
-    if use_fused_kernel() or ffp.FORCE_INTERPRET:
+    if (use_fused_kernel() or ffp.FORCE_INTERPRET) and not differentiable_grad:
         # Fused Pallas path: primal through the differentiable encode kernel
         # (existing custom_vjp), derivatives through the forward-only grad
-        # kernel. dfeat is stop_gradient'd — gradient normals are a detached
-        # supervision target (nerfacto parity, see loss_dict), so no
-        # backward through dhat is ever needed. vs the XLA hat/dhat GEMMs
-        # this avoids 6 [N, res] HBM materializations per level.
+        # kernel — dfeat is stop_gradient'd, so callers needing gradient
+        # THROUGH the normals (reference orientation-loss semantics) must
+        # pass differentiable_grad=True to take the XLA branch below. vs
+        # the XLA hat/dhat GEMMs this avoids 6 [N, res] HBM
+        # materializations per level.
         lines_t = tuple(
             tuple(enc_params[f"line_{lvl}_{ax}"] for ax in range(3))
             for lvl in range(len(cfg.resolutions))

@@ -79,6 +79,15 @@ class NerfactoModelConfig:
     single_jitter: bool = True
     predict_normals: bool = False
     use_gradient_normals: bool = True  # only active when predict_normals
+    # TPU-fast DEVIATION from nerfstudio 1.0.2 (off by default). When True:
+    # gradient normals are stop_gradient'd at creation (deleting the whole
+    # reverse pass through the density JVPs / analytic dhat GEMMs — measured
+    # 142 -> ~90 ms per signerf train step) and the orientation penalty is
+    # applied to the PRED normals (Ref-NeRF-style). When False (default),
+    # semantics match the reference exactly: orientation_loss takes the
+    # density-gradient normals UNDETACHED (so it regularizes the density
+    # field), and only pred_normal_loss sees them detached.
+    fast_normals_losses: bool = False
     interlevel_loss_mult: float = 1.0
     distortion_loss_mult: float = 0.002
     orientation_loss_mult: float = 0.0001
@@ -246,7 +255,13 @@ class NerfactoModel:
             from signerf_tpu.models.fields import factor_density_geo_and_grad
 
             density, geo, grad = factor_density_geo_and_grad(
-                params["field"], positions, self.field
+                params["field"],
+                positions,
+                self.field,
+                # Reference orientation-loss semantics backprop through the
+                # gradient normals into the encoding — needs the
+                # differentiable XLA dhat path during training.
+                differentiable_grad=train and not cfg.fast_normals_losses,
             )
             field_out = self.field.apply(
                 {"params": params["field"]},
@@ -315,16 +330,18 @@ class NerfactoModel:
                         ],
                         axis=-1,
                     )  # [R, S, 3]
-                # Gradient normals are a DETACHED supervision target, never
-                # differentiated through (nerfacto parity: get_outputs
-                # detaches FieldHeadNames.NORMALS in pred_normal_loss and
-                # feeds PRED normals to the orientation loss; consumed via
-                # rendered_*_loss at /root/reference/signerf/signerf.py:65-79).
-                # stop_gradient also lets XLA drop the entire reverse pass
-                # through the analytic dhat GEMMs: measured 142 -> ~90 ms
-                # signerf step. sqrt(sum^2 + eps) keeps the norm's fwd value
-                # finite at grad=0.
-                grad = jax.lax.stop_gradient(grad)
+                # nerfstudio-1.0.2 parity (consumed via rendered_*_loss at
+                # /root/reference/signerf/signerf.py:65-79): gradient normals
+                # stay DIFFERENTIABLE here — orientation_loss backprops
+                # through them into the density field; pred_normal_loss
+                # detaches them at its use site. fast_normals_losses=True
+                # instead detaches at creation, letting XLA drop the whole
+                # reverse pass through the analytic dhat GEMMs (measured
+                # 142 -> ~90 ms per signerf step) at the cost of diverging
+                # from reference loss semantics. sqrt(sum^2 + eps) keeps the
+                # norm's fwd value finite at grad=0.
+                if cfg.fast_normals_losses:
+                    grad = jax.lax.stop_gradient(grad)
                 n = -grad / jnp.sqrt(
                     jnp.sum(grad * grad, axis=-1, keepdims=True) + 1e-12
                 )
@@ -358,27 +375,39 @@ class NerfactoModel:
                 outputs["weights"], outputs["ray_samples"]
             )
             if cfg.predict_normals and "normals_samples" in outputs:
-                # nerfacto parity: both losses take DETACHED weights, the
-                # orientation penalty applies to the PRED normals (Ref-NeRF),
-                # and gradient normals enter only as a detached target.
-                w_sg = jax.lax.stop_gradient(outputs["weights"])
-                loss["orientation_loss"] = (
-                    cfg.orientation_loss_mult
-                    * L.orientation_loss(
-                        w_sg,
-                        outputs["pred_normals_samples"],
-                        outputs["directions"],
-                    )
-                )
-                loss["pred_normal_loss"] = (
-                    cfg.pred_normal_loss_mult
-                    * L.pred_normal_loss(
-                        w_sg,
-                        outputs["normals_samples"],  # stopped at creation
-                        outputs["pred_normals_samples"],
-                    )
-                )
+                loss.update(self.normals_losses(outputs))
         return loss
+
+    def normals_losses(self, outputs: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+        """Orientation + predicted-normal losses, shared by nerfacto/signerf.
+
+        Reference semantics (nerfstudio 1.0.2 NerfactoModel.get_loss_dict,
+        inherited by /root/reference/signerf/signerf.py:64-81): both losses
+        take DETACHED weights; orientation_loss penalizes the density-
+        gradient normals UNDETACHED (gradient flows into the density field);
+        pred_normal_loss detaches the gradient normals and trains only the
+        pred-normal head. fast_normals_losses=True is the documented TPU
+        deviation: normals_samples were stopped at creation, so the
+        orientation penalty is applied to PRED normals instead (Ref-NeRF
+        style) — otherwise it would carry no gradient at all.
+        """
+        cfg = self.config
+        w_sg = jax.lax.stop_gradient(outputs["weights"])
+        orient_normals = (
+            outputs["pred_normals_samples"]
+            if cfg.fast_normals_losses
+            else outputs["normals_samples"]
+        )
+        return {
+            "orientation_loss": cfg.orientation_loss_mult
+            * L.orientation_loss(w_sg, orient_normals, outputs["directions"]),
+            "pred_normal_loss": cfg.pred_normal_loss_mult
+            * L.pred_normal_loss(
+                w_sg,
+                jax.lax.stop_gradient(outputs["normals_samples"]),
+                outputs["pred_normals_samples"],
+            ),
+        }
 
     def metrics_dict(self, outputs, batch) -> Dict[str, jnp.ndarray]:
         return {"psnr": L.psnr(outputs["rgb"], batch["image"])}

@@ -101,20 +101,7 @@ class SIGNeRFModel(NerfactoModel):
                 outputs["weights"], outputs["ray_samples"]
             )
             if cfg.predict_normals and "normals_samples" in outputs:
-                loss["orientation_loss"] = (
-                    cfg.orientation_loss_mult
-                    * L.orientation_loss(
-                        outputs["weights"],
-                        outputs["normals_samples"],
-                        outputs["directions"],
-                    )
-                )
-                loss["pred_normal_loss"] = (
-                    cfg.pred_normal_loss_mult
-                    * L.pred_normal_loss(
-                        outputs["weights"],
-                        jax.lax.stop_gradient(outputs["normals_samples"]),
-                        outputs["pred_normals_samples"],
-                    )
-                )
+                # shared with nerfacto: detached weights, reference detach
+                # points (signerf.py:64-81 inherits them unchanged).
+                loss.update(self.normals_losses(outputs))
         return loss

@@ -131,9 +131,10 @@ def _encode_reference(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _encode_fused(cfg: FactorGridConfig, lines, x01: jnp.ndarray) -> jnp.ndarray:
-    """Fused Pallas forward (ops/fused_factor_pallas.py); backward recomputes
-    through the XLA reference so training gradients are bit-identical to the
-    non-kernel path."""
+    """Fused Pallas forward (ops/fused_factor_pallas.py). Backward dispatch:
+    on TPU, the analytic Pallas backward (`fused_factor_encode_bwd_tpu`,
+    bf16 GEMMs — matches the XLA gradient to norm-relative ~1e-2, not
+    bit-identical); elsewhere, recompute through the XLA reference."""
     from signerf_tpu.ops import fused_factor_pallas as ffp
 
     packed = ffp.pack_tables(cfg.resolutions, lines)
@@ -176,12 +177,17 @@ _encode_fused.defvjp(_encode_fused_fwd, _encode_fused_bwd)
 
 
 def use_fused_kernel() -> bool:
-    """Fused Pallas encode runs on real TPU backends (incl. the axon tunnel);
-    CPU (tests, dryrun meshes) uses the XLA reference path."""
+    """Fused Pallas encode runs on real TPU backends (incl. the axon tunnel,
+    which reports backend "axon" but compiles Mosaic TPU kernels); anything
+    else — CPU tests/dryrun meshes, GPU — uses the XLA reference path, since
+    the kernel uses pltpu memory spaces and only lowers for TPU."""
     try:
-        return jax.default_backend() != "cpu"
+        backend = jax.default_backend()
     except RuntimeError:  # pragma: no cover - no backend at all
         return False
+    if backend in ("tpu", "axon"):
+        return True
+    return any(d.platform == "tpu" for d in jax.devices())
 
 
 class FactorGridEncoding(nn.Module):
@@ -215,10 +221,9 @@ class FactorGridEncoding(nn.Module):
             ]
 
     def __call__(self, positions01: jnp.ndarray, use_fused: bool | None = None) -> jnp.ndarray:
-        """use_fused: None = auto (fused Pallas forward on TPU backends);
-        False = XLA path. Callers that will differentiate through the encode
-        (training) pass False until the Pallas backward lands — the
-        custom_vjp recompute backward measured ~13% slower end-to-end train.
+        """use_fused: None = auto (fused Pallas forward on TPU backends,
+        with the analytic Pallas backward handling training gradients);
+        False = force the XLA path (debug/eval comparisons).
         """
         cfg = self.config
         dtype = jnp.dtype(cfg.compute_dtype)

@@ -100,3 +100,115 @@ class TestSIGNeRFModel:
         assert {"orientation_loss", "pred_normal_loss"} <= set(ld)
         for v in ld.values():
             assert bool(jnp.isfinite(v))
+
+
+class TestNormalsLossSemantics:
+    """Pins the nerfstudio-1.0.2 detach points (reference semantics,
+    consumed unchanged by /root/reference/signerf/signerf.py:64-81):
+    both losses take DETACHED weights; orientation_loss backprops through
+    the gradient normals into the density field; pred_normal_loss detaches
+    the gradient normals. fast_normals_losses=True is the documented TPU
+    deviation (detach at creation, orientation on pred normals)."""
+
+    def _synthetic_outputs(self, weights, normals, pred_normals):
+        dirs = jnp.array([[0.0, 0.0, 1.0]])
+        return {
+            "weights": weights,
+            "normals_samples": normals,
+            "pred_normals_samples": pred_normals,
+            "directions": dirs,
+        }
+
+    def _arrays(self):
+        k = jax.random.PRNGKey(3)
+        w = jax.random.uniform(k, (1, 5))
+        n = jax.random.normal(jax.random.PRNGKey(4), (1, 5, 3))
+        n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+        pn = jax.random.normal(jax.random.PRNGKey(5), (1, 5, 3))
+        pn = pn / jnp.linalg.norm(pn, axis=-1, keepdims=True)
+        return w, n, pn
+
+    @pytest.mark.parametrize("fast", [False, True])
+    def test_weights_receive_zero_gradient(self, fast):
+        model = SIGNeRFModel(
+            tiny_signerf_config(
+                predict_normals=True, use_lpips=False, fast_normals_losses=fast
+            ),
+            num_train_images=2,
+        )
+        w, n, pn = self._arrays()
+
+        def f(weights):
+            ld = model.normals_losses(self._synthetic_outputs(weights, n, pn))
+            return ld["orientation_loss"] + ld["pred_normal_loss"]
+
+        g = jax.grad(f)(w)
+        np.testing.assert_allclose(np.asarray(g), 0.0, atol=0.0)
+
+    def test_reference_mode_orientation_flows_through_normals(self):
+        model = SIGNeRFModel(
+            tiny_signerf_config(predict_normals=True, use_lpips=False),
+            num_train_images=2,
+        )
+        w, n, pn = self._arrays()
+
+        def orient(normals):
+            ld = model.normals_losses(self._synthetic_outputs(w, normals, pn))
+            return ld["orientation_loss"]
+
+        def pred(normals):
+            ld = model.normals_losses(self._synthetic_outputs(w, normals, pn))
+            return ld["pred_normal_loss"]
+
+        assert float(jnp.abs(jax.grad(orient)(n)).sum()) > 0
+        # pred_normal_loss detaches the gradient normals (reference parity)
+        np.testing.assert_allclose(np.asarray(jax.grad(pred)(n)), 0.0, atol=0.0)
+
+    def test_fast_mode_normals_carry_no_gradient_at_loss(self):
+        model = SIGNeRFModel(
+            tiny_signerf_config(
+                predict_normals=True, use_lpips=False, fast_normals_losses=True
+            ),
+            num_train_images=2,
+        )
+        w, n, pn = self._arrays()
+
+        def f(normals):
+            ld = model.normals_losses(self._synthetic_outputs(w, normals, pn))
+            return ld["orientation_loss"] + ld["pred_normal_loss"]
+
+        np.testing.assert_allclose(np.asarray(jax.grad(f)(n)), 0.0, atol=0.0)
+        # ...and the orientation penalty trains the pred-normal head instead
+        def f_pn(pred_normals):
+            ld = model.normals_losses(self._synthetic_outputs(w, n, pred_normals))
+            return ld["orientation_loss"]
+
+        assert float(jnp.abs(jax.grad(f_pn)(pn)).sum()) > 0
+
+    @pytest.mark.parametrize("fast,expect_grad", [(False, True), (True, False)])
+    def test_creation_time_detach_matches_mode(self, fast, expect_grad):
+        """End-to-end: d sum(normals_samples) / d encoding params is nonzero
+        in reference mode (differentiable analytic grad) and exactly zero in
+        fast mode (stop_gradient at creation)."""
+        model = SIGNeRFModel(
+            tiny_signerf_config(
+                predict_normals=True, use_lpips=False, fast_normals_losses=fast
+            ),
+            num_train_images=2,
+        )
+        params = model.init(jax.random.PRNGKey(0))
+        rb = make_bundle(4)
+
+        def f(p):
+            out = model.apply(p, rb, rng=jax.random.PRNGKey(1), train=True)
+            return jnp.sum(out["normals_samples"])
+
+        g = jax.grad(f)(params)
+        enc = g["field"]["encoding"]
+        total = sum(
+            float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(enc)
+        )
+        if expect_grad:
+            assert total > 0
+        else:
+            assert total == 0.0
