@@ -234,6 +234,7 @@ def parse_transforms(config: SIGNeRFDataParserConfig) -> DataparserOutputs:
     downscale = None
     image_filenames: List[Path] = []
     mask_filenames: List[Path] = []
+    depth_filenames: List[Path] = []
     poses: List[np.ndarray] = []
     fx, fy, cx, cy, hh, ww, distort = [], [], [], [], [], [], []
 
@@ -282,9 +283,25 @@ def parse_transforms(config: SIGNeRFDataParserConfig) -> DataparserOutputs:
             else:
                 mask_filenames.append(mask_fname)
 
+        # Per-frame depth supervision frames (parity:
+        # /root/reference/signerf/data/signerf_dataparser.py:172-175,189-192
+        # — read and forwarded via metadata; consumption is model-side).
+        if "depth_file_path" in frame:
+            depth_filenames.append(
+                _get_fname(
+                    PurePath(frame["depth_file_path"]),
+                    data_dir,
+                    downscale,
+                    prefix="depths_",
+                )
+            )
+
     assert len(image_filenames) > 0, "No image files found; check transforms.json file_paths."
     assert len(mask_filenames) in (0, len(image_filenames)), (
         "mask_path must be specified for every frame or no frame"
+    )
+    assert len(depth_filenames) in (0, len(image_filenames)), (
+        "depth_file_path must be specified for every frame or no frame"
     )
 
     pose_arr = np.stack(poses)  # [N, 4, 4]
@@ -312,13 +329,22 @@ def parse_transforms(config: SIGNeRFDataParserConfig) -> DataparserOutputs:
         [[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]], np.float32
     )
 
-    # Static resolution required for TPU (shape-static raygen); the reference
-    # allows per-frame sizes but SIGNeRF-generated datasets are uniform.
+    # Static resolution required for TPU (shape-static raygen). The
+    # reference handles per-frame sizes with variable_res_collate
+    # (signerf_datamanager.py:76-81); here every frame is instead resized
+    # at load time to the smallest frame dims (load_images already resizes
+    # to the camera dims), with per-frame intrinsics rescaled by each
+    # frame's (sx, sy) — exact under the pinhole model, including
+    # anisotropic resize (fx,cx scale by sx; fy,cy by sy).
     if len(set(ww)) != 1 or len(set(hh)) != 1:
-        raise NotImplementedError(
-            "variable-resolution datasets are not supported; "
-            f"got widths {sorted(set(ww))}, heights {sorted(set(hh))}"
-        )
+        tw, th = min(ww), min(hh)
+        for i in range(len(ww)):
+            sx, sy = tw / ww[i], th / hh[i]
+            fx[i] *= sx
+            cx[i] *= sx
+            fy[i] *= sy
+            cy[i] *= sy
+            ww[i], hh[i] = tw, th
 
     scale = 1.0 / downscale
     cameras = Cameras(
@@ -351,6 +377,8 @@ def parse_transforms(config: SIGNeRFDataParserConfig) -> DataparserOutputs:
         dataparser_transform=transform_matrix,
         metadata={
             "downscale_factor": downscale,
+            "depth_filenames": depth_filenames or None,
+            "depth_unit_scale_factor": config.depth_unit_scale_factor,
             "is_synthetic": meta.get("is_synthetic", False),
             "is_combined": meta.get("is_combined", False),
             "reference_indices": meta.get("reference_indices"),

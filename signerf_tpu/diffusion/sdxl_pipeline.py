@@ -147,6 +147,16 @@ class SDXLInpaintPipeline:
 
                 params = serialization.msgpack_restore(blob.read_bytes())
         if params is None:
+            import warnings
+
+            msg = (
+                "SDXL pipeline running with RANDOM-INIT weights "
+                f"(weights_path={weights_path!r}): edited images will be "
+                "noise, not edits. Export real checkpoints with "
+                "scripts/convert_sdxl_weights.py and pass weights_path."
+            )
+            warnings.warn(msg, stacklevel=2)
+            print(f"[signerf-tpu] WARNING: {msg}")
             params = cls._random_init(config, seed)
         if param_dtype is not None:
             params = jax.tree_util.tree_map(

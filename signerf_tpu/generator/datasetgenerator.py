@@ -69,7 +69,10 @@ class RendererConfig:
     rotation: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # XYZ Euler, deg
     scale: Tuple[float, float, float] = (0.1, 0.1, 0.1)
     color: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
-    object_path: str = "icosphere"  # OBJ path or primitive name
+    # OBJ path or primitive name ("bunny" | "icosphere" | "cube"). Default
+    # mirrors the reference's bundled bunny proxy (renderer.py:38); ours is
+    # the procedurally generated signerf_tpu/assets/bunny_proxy.obj.
+    object_path: str = "bunny"
 
 
 @dataclasses.dataclass
@@ -172,7 +175,9 @@ class DatasetGenerator:
         from signerf_tpu.geometry import primitives
 
         rc = self.config.renderer
-        if rc.object_path == "icosphere":
+        if rc.object_path == "bunny":
+            verts, faces = primitives.bunny(3)
+        elif rc.object_path == "icosphere":
             verts, faces = primitives.icosphere(3, 1.0)
         elif rc.object_path == "cube":
             verts, faces = primitives.cube(1.0)

@@ -156,10 +156,73 @@ def test_load_previous_experiment_cameras(tmp_path):
     assert out["is_combined"] is True
 
 
-def test_variable_resolution_rejected(tmp_path):
+def test_variable_resolution_uses_min_dims(tmp_path):
+    # declared w larger than the others: target stays the smallest dims
     _write_dataset(tmp_path)
     meta = json.loads((tmp_path / "transforms.json").read_text())
     meta["frames"][0]["w"] = 99
     (tmp_path / "transforms.json").write_text(json.dumps(meta))
-    with pytest.raises(NotImplementedError):
-        parse_transforms(SIGNeRFDataParserConfig(data=tmp_path))
+    out = parse_transforms(SIGNeRFDataParserConfig(data=tmp_path))
+    assert (out.cameras.width, out.cameras.height) == (16, 12)
+    # frame 0's fx/cx rescaled by 16/99
+    np.testing.assert_allclose(float(out.cameras.fx[0]), 20.0 * 16 / 99, rtol=1e-6)
+
+
+def test_depth_file_path_forwarded(tmp_path):
+    """Parity: per-frame depth_file_path is read and forwarded via metadata
+    (/root/reference/signerf/data/signerf_dataparser.py:172-175,189-192)."""
+    _write_dataset(tmp_path)
+    meta = json.loads((tmp_path / "transforms.json").read_text())
+    (tmp_path / "depths").mkdir()
+    for i, frame in enumerate(meta["frames"]):
+        frame["depth_file_path"] = f"./depths/depth_{i}.png"
+        Image.new("I;16", (16, 12), color=1000).save(
+            tmp_path / "depths" / f"depth_{i}.png"
+        )
+    (tmp_path / "transforms.json").write_text(json.dumps(meta))
+    out = parse_transforms(SIGNeRFDataParserConfig(data=tmp_path))
+    depths = out.metadata["depth_filenames"]
+    assert depths is not None and len(depths) == len(out.image_filenames)
+    assert all(p.name.startswith("depth_") for p in depths)
+    assert out.metadata["depth_unit_scale_factor"] == pytest.approx(1e-3)
+
+
+def test_no_depths_means_none(tmp_path):
+    _write_dataset(tmp_path)
+    out = parse_transforms(SIGNeRFDataParserConfig(data=tmp_path))
+    assert out.metadata["depth_filenames"] is None
+
+
+def test_variable_resolution_downscales_to_uniform(tmp_path):
+    """Mixed-size frames load at the smallest dims with per-frame intrinsic
+    rescale (replaces the reference's variable_res_collate,
+    signerf_datamanager.py:76-81, under the static-shape constraint)."""
+    (tmp_path / "images").mkdir()
+    sizes = [(32, 24), (16, 12), (24, 24)]
+    frames = []
+    for i, (w, h) in enumerate(sizes):
+        Image.new("RGB", (w, h), color=(i * 10, 0, 0)).save(
+            tmp_path / "images" / f"image_{i}.png"
+        )
+        frames.append({
+            "fl_x": float(w),
+            "fl_y": float(h),
+            "cx": w / 2,
+            "cy": h / 2,
+            "w": w,
+            "h": h,
+            "file_path": f"./images/image_{i}.png",
+            "transform_matrix": _mk_pose([i * 0.1, 0.0, 1.0]),
+        })
+    (tmp_path / "transforms.json").write_text(
+        json.dumps({"camera_model": "OPENCV", "frames": frames})
+    )
+    out = parse_transforms(SIGNeRFDataParserConfig(data=tmp_path))
+    cams = out.cameras
+    assert (cams.width, cams.height) == (16, 12)
+    # per-frame anisotropic rescale: fx' = fx * 16/w, fy' = fy * 12/h; with
+    # fl_x=w, fl_y=h every frame lands at fx=16, fy=12, cx=8, cy=6
+    np.testing.assert_allclose(np.asarray(cams.fx), 16.0)
+    np.testing.assert_allclose(np.asarray(cams.fy), 12.0)
+    np.testing.assert_allclose(np.asarray(cams.cx), 8.0)
+    np.testing.assert_allclose(np.asarray(cams.cy), 6.0)

@@ -195,3 +195,38 @@ class TestPreviewSheet:
         np.testing.assert_allclose(
             np.asarray(edited)[outside], np.asarray(img)[outside], atol=1e-5
         )
+
+
+def test_bunny_proxy_primitive_and_obj_roundtrip(tmp_path):
+    """Default proxy asset (role of /root/reference models/bunny.obj,
+    renderer.py:38): procedural bunny primitive, OBJ round-trip, and the
+    bundled asset file."""
+    from pathlib import Path
+
+    from signerf_tpu.geometry.obj import load_obj
+    from signerf_tpu.geometry.primitives import bunny, save_obj
+
+    v, f = bunny(2)
+    assert v.shape[1] == 3 and f.shape[1] == 3 and len(f) > 100
+    assert int(f.max()) < len(v)
+    # asymmetric silhouette: x-extent differs front/back, ears above body
+    assert v[:, 0].max() > abs(v[:, 0].min())
+    assert v[:, 1].max() > 1.0
+    p = tmp_path / "b.obj"
+    save_obj(p, v, f)
+    v2, f2 = load_obj(p)
+    np.testing.assert_allclose(v2, v, atol=1e-5)
+    np.testing.assert_array_equal(f2, f)
+
+    bundled = (
+        Path(__file__).parents[1] / "signerf_tpu" / "assets" / "bunny_proxy.obj"
+    )
+    assert bundled.exists()
+    v3, _ = load_obj(bundled)
+    assert len(v3) > 1000
+
+
+def test_renderer_bunny_default(tmp_path):
+    from signerf_tpu.generator.datasetgenerator import RendererConfig
+
+    assert RendererConfig().object_path == "bunny"
