@@ -198,8 +198,10 @@ class SDXLInpaintPipeline:
         return {
             "unet": cast(unet.init(keys[0], lat, t, ctx, pooled, tids)["params"]),
             "controlnet": cast(
+                # 3-channel conditioning (RGB depth map) for diffusers
+                # weight parity: cond_embedding.conv_in is [16, 3, 3, 3].
                 cn.init(
-                    keys[1], lat, jnp.zeros((1, h, w, 1)), t, ctx, pooled, tids
+                    keys[1], lat, jnp.zeros((1, h, w, 3)), t, ctx, pooled, tids
                 )["params"]
             ),
             "vae": cast(vae.init(keys[2], jnp.zeros((1, h, w, 3)))["params"]),
@@ -245,7 +247,7 @@ class SDXLInpaintPipeline:
         prompt: str,
         negative_prompt: str = "",
         mask: Optional[np.ndarray] = None,  # [(K,) H, W, 1] float, 1 = edit
-        control_image: Optional[np.ndarray] = None,  # [(K,) H, W, 1] depth
+        control_image: Optional[np.ndarray] = None,  # [(K,) H, W, 1|3] depth
         strength: float = 0.9,
         num_steps: int = 20,
         guidance_scale: float = 7.0,
@@ -286,9 +288,16 @@ class SDXLInpaintPipeline:
         add_time_ids = jnp.asarray([[h, w, 0, 0, h, w]], jnp.float32)
 
         msk = batched(mask, 1)
-        ctrl = batched(control_image, 1)
+        # ControlNet conditioning is RGB (3-channel) for diffusers weight
+        # parity: the reference's A1111 payload sends the depth map as an
+        # RGB PNG (/root/reference/signerf/diffuser/diffuser.py:151-156) and
+        # diffusers ControlNetConditioningEmbedding.conv_in is [16, 3, 3, 3].
+        # Single-channel depth inputs are broadcast.
+        ctrl = batched(control_image, 3)
         if ctrl is None:
-            ctrl = jnp.zeros((k_batch, h, w, 1), jnp.float32)
+            ctrl = jnp.zeros((k_batch, h, w, 3), jnp.float32)
+        elif ctrl.shape[-1] == 1:
+            ctrl = jnp.repeat(ctrl, 3, axis=-1)
 
         # Data-parallel per-view generation: with a "data" mesh axis, shard
         # the view batch's leading dim over it (params replicated — see

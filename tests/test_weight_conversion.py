@@ -2,10 +2,12 @@
 maps to a unique diffusers-style torch key, and a synthetic torch state
 dict round-trips through the converter bit-exactly."""
 
+import jax
 import numpy as np
 import pytest
 
 from signerf_tpu.diffusion.sdxl_pipeline import (
+    SDXLConfig,
     TINY_SDXL_CONFIG,
     SDXLInpaintPipeline,
 )
@@ -18,7 +20,19 @@ from signerf_tpu.diffusion.weight_conversion import (
 
 @pytest.fixture(scope="module")
 def params():
-    return SDXLInpaintPipeline._random_init(TINY_SDXL_CONFIG, seed=0)
+    # abstract init: mapping/shape tests only need the tree structure, and
+    # eval_shape skips materializing (and actually initializing) weights
+    return jax.eval_shape(
+        lambda: SDXLInpaintPipeline._random_init(TINY_SDXL_CONFIG, seed=0)
+    )
+
+
+@pytest.fixture(scope="module")
+def full_params():
+    """FULL SDXL architecture as shape structs (2.57B-param unet etc.)."""
+    return jax.eval_shape(
+        lambda: SDXLInpaintPipeline._random_init(SDXLConfig(), seed=0)
+    )
 
 
 def make_fake_torch_sd(component, flax_params, seed=0):
@@ -97,3 +111,184 @@ class TestMapping:
         sds = {c: make_fake_torch_sd(c, params[c]) for c in params}
         out = convert_all(params, sds)
         assert set(out) == set(params)
+
+
+class TestFullDiffusersInventory:
+    """Double-entry proof of the real-weights path (VERDICT r1 #6): the
+    converter's flax->torch key derivation over the FULL SDXL architecture
+    must agree exactly — names and shapes — with the independently vendored
+    diffusers checkpoint inventory (tests/fixtures/diffusers_sdxl_inventory).
+    No unmapped diffusers tensor, no collision, no silent drop."""
+
+    @pytest.mark.parametrize(
+        "component", ["unet", "controlnet", "vae", "clip_l", "clip_g"]
+    )
+    def test_bijective_against_inventory(self, full_params, component):
+        from tests.fixtures.diffusers_sdxl_inventory import (
+            ALLOWED_UNUSED,
+            INVENTORIES,
+        )
+
+        inventory = INVENTORIES[component]()
+        expected = expected_torch_keys(component, full_params[component])
+
+        inv_keys = set(inventory) - ALLOWED_UNUSED[component]
+        exp_keys = set(expected)
+        missing = sorted(inv_keys - exp_keys)  # real tensors we would drop
+        extra = sorted(exp_keys - inv_keys)  # flax leaves with no source
+        assert not missing, f"{component}: unconsumed diffusers keys: {missing[:10]}"
+        assert not extra, f"{component}: unsourced flax leaves: {extra[:10]}"
+
+        # shape compatibility under the layout transform
+        for tkey, (path, kind) in expected.items():
+            leaf = full_params[component]
+            for k in path:
+                leaf = leaf[k]
+            tshape = inventory[tkey]
+            if kind == "kernel" and len(tshape) == 4:  # OIHW -> HWIO
+                got = (tshape[2], tshape[3], tshape[1], tshape[0])
+            elif kind == "kernel" and len(tshape) == 2:  # [O,I] -> [I,O]
+                got = (tshape[1], tshape[0])
+            else:
+                got = tuple(tshape)
+            assert got == tuple(leaf.shape), (
+                f"{component}/{tkey}: torch {tshape} ({kind}) -> {got} "
+                f"!= flax {tuple(leaf.shape)} at {'/'.join(path)}"
+            )
+
+    def test_full_unet_leaf_count(self, full_params):
+        from signerf_tpu.diffusion.weight_conversion import _flatten
+
+        # SDXL base 1.0 UNet has 1680 tensors in its state dict
+        assert len(_flatten(full_params["unet"])) == 1680
+
+
+class TestEulerAGolden:
+    """Golden-vector pins of the A1111 'Euler a' sampler math against
+    hand-computed k-diffusion values (payload parity:
+    /root/reference/signerf/diffuser/diffuser.py:144 sampler 'Euler a')."""
+
+    def test_sd_schedule_endpoints(self):
+        from signerf_tpu.diffusion.sampler import make_sd_schedule
+
+        s = make_sd_schedule()
+        assert s.shape == (1000,)
+        # community-known SD/SDXL scaled-linear sigma range
+        np.testing.assert_allclose(s[0], 0.0292, atol=2e-4)
+        np.testing.assert_allclose(s[-1], 14.6146, atol=2e-3)
+        assert np.all(np.diff(s) > 0)
+
+    def test_get_sigmas_hits_exact_timesteps(self):
+        from signerf_tpu.diffusion.sampler import get_sigmas, make_sd_schedule
+
+        train = make_sd_schedule()
+        # n=4 -> t = [999, 666, 333, 0]: integer grid, no interpolation
+        sig = get_sigmas(4)
+        np.testing.assert_allclose(
+            sig, np.append(train[[999, 666, 333, 0]], 0.0), rtol=1e-5
+        )
+
+    def test_get_sigmas_log_interpolation(self):
+        from signerf_tpu.diffusion.sampler import get_sigmas, make_sd_schedule
+
+        train = make_sd_schedule()
+        # n=3 -> t = [999, 499.5, 0]: geometric mean of neighbors in sigma
+        sig = get_sigmas(3)
+        expected_mid = np.exp(
+            0.5 * np.log(train[499]) + 0.5 * np.log(train[500])
+        )
+        np.testing.assert_allclose(sig[1], expected_mid, rtol=1e-5)
+
+    def test_ancestral_step_golden(self):
+        import jax.numpy as jnp
+
+        from signerf_tpu.diffusion.sampler import get_ancestral_step
+
+        # k-diffusion eta=1: up = min(s_to, s_to*sqrt(s_from^2-s_to^2)/s_from)
+        # (2, 1): up = min(1, sqrt(1*(4-1)/4)) = sqrt(3)/2, down = sqrt(1-3/4)
+        down, up = get_ancestral_step(jnp.float32(2.0), jnp.float32(1.0))
+        np.testing.assert_allclose(float(up), np.sqrt(0.75), rtol=1e-6)
+        np.testing.assert_allclose(float(down), 0.5, rtol=1e-6)
+        # final step to sigma 0 is deterministic
+        down, up = get_ancestral_step(jnp.float32(1.0), jnp.float32(0.0))
+        assert float(up) == 0.0 and float(down) == 0.0
+        # tight step: up capped at sigma_to
+        down, up = get_ancestral_step(jnp.float32(10.0), jnp.float32(9.99))
+        assert float(up) <= 9.99 + 1e-6
+
+    def test_sigma_to_t_inverts_schedule(self):
+        import jax.numpy as jnp
+
+        from signerf_tpu.diffusion.sampler import make_sd_schedule, sigma_to_t
+
+        train = make_sd_schedule()
+        for t in (0, 250, 999):
+            got = float(sigma_to_t(jnp.float32(train[t]), train))
+            np.testing.assert_allclose(got, t, atol=1e-2)
+
+    def test_scale_model_input_compvis(self):
+        import jax.numpy as jnp
+
+        from signerf_tpu.diffusion.sampler import scale_model_input
+
+        x = jnp.ones((2, 2))
+        out = scale_model_input(x, jnp.float32(3.0))
+        np.testing.assert_allclose(
+            np.asarray(out), 1.0 / np.sqrt(10.0), rtol=1e-6
+        )
+
+    def test_strength_sigmas_keeps_tail(self):
+        from signerf_tpu.diffusion.sampler import get_sigmas, strength_sigmas
+
+        sig = get_sigmas(20)
+        out = strength_sigmas(sig, 0.9)
+        # A1111: keep last floor(0.9*20)=18 denoising sigmas (+ trailing 0)
+        assert len(out) == 19
+        np.testing.assert_allclose(out, sig[-19:], rtol=1e-6)
+
+
+class TestCheckpointLoadPaths:
+    """Round-trip the serialized formats the offline converter writes, so
+    dropping in real weights provably needs zero code changes."""
+
+    def test_msgpack_roundtrip_through_create(self, tmp_path):
+        from flax import serialization
+
+        real = SDXLInpaintPipeline._random_init(TINY_SDXL_CONFIG, seed=3)
+        real = jax.tree_util.tree_map(np.asarray, real)
+        (tmp_path / "sdxl_params.msgpack").write_bytes(
+            serialization.msgpack_serialize(real)
+        )
+        pipe = SDXLInpaintPipeline.create(
+            weights_path=tmp_path, config=TINY_SDXL_CONFIG, param_dtype=None
+        )
+        flat_a = jax.tree_util.tree_leaves(real)
+        flat_b = jax.tree_util.tree_leaves(pipe.params)
+        assert len(flat_a) == len(flat_b)
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_random_init_warns(self, tmp_path):
+        with pytest.warns(UserWarning, match="RANDOM-INIT"):
+            SDXLInpaintPipeline.create(
+                weights_path=None, config=TINY_SDXL_CONFIG, param_dtype=None
+            )
+
+    def test_lpips_npz_roundtrip(self, tmp_path):
+        from signerf_tpu.ops.lpips import init_lpips, load_weights
+
+        p = init_lpips(jax.random.PRNGKey(0), "alex")
+        arrs = {}
+        for i, conv in enumerate(p.convs):
+            arrs[f"conv{i}_kernel"] = np.asarray(conv["kernel"])
+            arrs[f"conv{i}_bias"] = np.asarray(conv["bias"])
+        for i, lin in enumerate(p.lins):
+            arrs[f"lin{i}"] = np.asarray(lin)
+        np.savez(tmp_path / "lpips_alex.npz", **arrs)
+        loaded = load_weights(tmp_path / "lpips_alex.npz", "alex")
+        assert len(loaded.convs) == len(p.convs)
+        assert len(loaded.lins) == len(p.lins)
+        for a, b in zip(loaded.convs, p.convs):
+            np.testing.assert_array_equal(np.asarray(a["kernel"]), np.asarray(b["kernel"]))
+        for a, b in zip(loaded.lins, p.lins):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
