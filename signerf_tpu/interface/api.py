@@ -44,6 +44,18 @@ class GenerationInterface:
         self.synthetic_poses: Optional[np.ndarray] = None  # [S, 3, 4]
         self.use_synthetic: bool = False
         self.combine_with_original: bool = False
+        # last circle/sphere setter params, kept so drag/nudge manipulation
+        # can re-pose the cameras around a moved center (the reference keeps
+        # these as live GUI state, interface.py:543-616)
+        self.circle_params: Dict[str, Any] = dict(
+            radius=1.0, theta=70.0, phi_range=(0.0, 360.0),
+            position=(0.0, 0.0, 0.0), target=(0.0, 0.0, 0.0),
+        )
+        self.sphere_params: Dict[str, Any] = dict(
+            mode="original", combine_with_original=False, count=60,
+            radius=1.0, theta_range=(0.0, 90.0), phi_range=(0.0, 360.0),
+            position=(0.0, 0.0, 0.0), target=(0.0, 0.0, 0.0), seed=0,
+        )
         self._busy = threading.Lock()
 
     # ------------------------------------------------------------------
@@ -76,6 +88,10 @@ class GenerationInterface:
     ) -> np.ndarray:
         """Place the rows*cols-1 reference cameras on a circle."""
         count = self.gen_config.rows * self.gen_config.cols - 1
+        self.circle_params = dict(
+            radius=radius, theta=theta, phi_range=tuple(phi_range),
+            position=tuple(position), target=tuple(target),
+        )
         # endpoint-exclusive spacing like the GUI's circle setter
         span = phi_range[1] - phi_range[0]
         phi = (phi_range[0], phi_range[0] + span * (count - 1) / count)
@@ -112,6 +128,12 @@ class GenerationInterface:
         seed: int = 0,
     ) -> None:
         self.combine_with_original = combine_with_original
+        self.sphere_params = dict(
+            mode=mode, combine_with_original=combine_with_original,
+            count=count, radius=radius, theta_range=tuple(theta_range),
+            phi_range=tuple(phi_range), position=tuple(position),
+            target=tuple(target), seed=seed,
+        )
         if mode == "original":
             self.use_synthetic = False
             self.synthetic_poses = None
@@ -190,6 +212,116 @@ class GenerationInterface:
         # sync with live objects)
         self.trainer.pipeline.dataset_generator.config.diffuser = d
         self.trainer.pipeline.dataset_generator.diffuser.config = d
+
+    # ------------------------------------------------------------------
+    # 3D scene elements + manipulation (interface.py:144-443, 543-802;
+    # viewer.py:416-467 train-camera frustums)
+    # ------------------------------------------------------------------
+
+    def scene_elements(self) -> Dict[str, Any]:
+        """Everything the viewer draws as overlays: train cameras,
+        reference/synthetic poses, selection AABB, proxy mesh wire."""
+        out: Dict[str, Any] = {
+            "train_poses": None,
+            "reference_poses": self.reference_poses,
+            "synthetic_poses": self.synthetic_poses if self.use_synthetic else None,
+            "aabb": None,
+            "shape": None,
+        }
+        dm = getattr(self.trainer.pipeline, "datamanager", None)
+        if dm is not None and getattr(dm, "cameras", None) is not None:
+            out["train_poses"] = np.asarray(dm.cameras.camera_to_worlds)
+        cfg = self.gen_config
+        if cfg.masking_mode == "aabb":
+            out["aabb"] = (tuple(cfg.aabb_min), tuple(cfg.aabb_max))
+        else:
+            shape = self._proxy_mesh()
+            if shape is not None:
+                out["shape"] = shape
+        return out
+
+    def _proxy_mesh(self) -> Optional[Dict[str, np.ndarray]]:
+        """Load + pose the proxy mesh the way the generator will."""
+        from signerf_tpu.geometry import primitives
+        from signerf_tpu.geometry.obj import (
+            load_obj,
+            object_pose_matrix,
+            transform_vertices,
+        )
+
+        rc = self.gen_config.renderer
+        if rc.object_path == "bunny":
+            verts, faces = primitives.bunny(2)
+        elif rc.object_path == "icosphere":
+            verts, faces = primitives.icosphere(2, 1.0)
+        elif rc.object_path == "cube":
+            verts, faces = primitives.cube(1.0)
+        else:
+            p = Path(rc.object_path)
+            if not p.exists():
+                return None
+            verts, faces = load_obj(p)
+        pose = object_pose_matrix(rc.position, rc.rotation, rc.scale)
+        return {"verts": transform_vertices(verts, pose), "faces": faces}
+
+    def nudge(
+        self,
+        element: str,  # "aabb" | "shape" | "reference"
+        translate: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+        scale: float = 1.0,
+        rotate_deg: Tuple[float, float, float] = (0.0, 0.0, 0.0),
+    ) -> None:
+        """Gizmo-equivalent manipulation with write-through to the configs
+        (reference pattern: interface.py:310-443 transform controls)."""
+        t = np.asarray(translate, np.float64)
+        if element == "aabb":
+            lo = np.asarray(self.gen_config.aabb_min, np.float64)
+            hi = np.asarray(self.gen_config.aabb_max, np.float64)
+            center = 0.5 * (lo + hi) + t
+            half = 0.5 * (hi - lo) * float(scale)
+            self.set_selection_aabb(tuple(center - half), tuple(center + half))
+        elif element == "shape":
+            rc = self.gen_config.renderer
+            rc.position = tuple(np.asarray(rc.position, np.float64) + t)
+            rc.scale = tuple(np.asarray(rc.scale, np.float64) * float(scale))
+            rc.rotation = tuple(
+                np.asarray(rc.rotation, np.float64)
+                + np.asarray(rotate_deg, np.float64)
+            )
+        elif element == "reference":
+            p = dict(self.circle_params)
+            p["position"] = tuple(np.asarray(p["position"], np.float64) + t)
+            p["target"] = tuple(np.asarray(p["target"], np.float64) + t)
+            p["radius"] = float(p["radius"]) * float(scale)
+            self.set_reference_circle(**p)
+        else:
+            raise ValueError(f"unknown scene element {element!r}")
+
+    def drag(
+        self,
+        element: str,
+        dx_px: float,
+        dy_px: float,
+        cam: Dict[str, Any],  # {c2w, fx, fy} of the viewing camera
+    ) -> None:
+        """Screen-space drag -> camera-plane world translation of the
+        element's handle (the frustum/gizmo drag interaction)."""
+        from signerf_tpu.interface.overlay import pixel_drag_to_world
+
+        if element == "aabb":
+            lo = np.asarray(self.gen_config.aabb_min)
+            hi = np.asarray(self.gen_config.aabb_max)
+            point = 0.5 * (lo + hi)
+        elif element == "shape":
+            point = np.asarray(self.gen_config.renderer.position)
+        elif element == "reference":
+            point = np.asarray(self.circle_params["position"])
+        else:
+            raise ValueError(f"unknown scene element {element!r}")
+        delta = pixel_drag_to_world(
+            dx_px, dy_px, np.asarray(cam["c2w"]), cam["fx"], cam["fy"], point
+        )
+        self.nudge(element, translate=tuple(delta))
 
     # ------------------------------------------------------------------
     # preview (interface.py:817-879)

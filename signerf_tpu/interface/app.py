@@ -8,15 +8,23 @@ environment, so the viewer here is a self-contained stdlib HTTP server
 (threaded, websocket-free) exposing:
 
   GET  /            interactive page: live NeRF view (orbit controls),
-                    training stats, generation controls, preview modal
+                    training stats, generation controls, preview modal,
+                    3D overlays (frustums / AABB / proxy) with drag + nudge
   GET  /state       training_state / step / metrics JSON
-  GET  /render      render the current NeRF from an orbit camera (PNG)
+  GET  /render      render the current NeRF from an orbit camera (PNG);
+                    overlay flags: ?train=1&reference=1&aabb=1&shape=1...
+  GET  /scene       scene elements JSON (poses, aabb, proxy stats)
   POST /preview     run one reference-sheet generation, return base64 PNGs
                     (the reference's Preview Generation modal, :817-879)
   POST /generate    launch Generate Dataset & Train in a worker thread
                     (the reference's waiting_train button, viewer.py:163-165)
   POST /train       {"state": "training"|"paused"} pause/resume
   POST /params      update generation params (prompt, steps, scales, seed)
+  POST /nudge       {element, translate, scale, rotate_deg} gizmo steps
+  POST /drag        {element, dx_px, dy_px, yaw, pitch, radius, size}
+                    screen-space drag of the AABB / proxy / reference circle
+                    (the reference's transform-gizmo interaction,
+                    interface.py:310-443, 543-616)
 
 Render-vs-train throttling: renders run between train dispatches on the
 same device; the page polls at ~1 Hz and requests modest resolutions, which
@@ -50,10 +58,29 @@ input,select{margin:0.2rem;background:#222;color:#eee;border:1px solid #444}
 <h2>SIGNeRF-TPU viewer</h2>
 <div class="row">
  <div class="card"><h3>Scene</h3>
-  <img id="view" width="384" height="384"/><br/>
+  <img id="view" width="384" height="384" draggable="false"/><br/>
   yaw <input id="yaw" type="range" min="0" max="360" value="30"/>
   pitch <input id="pitch" type="range" min="5" max="85" value="55"/>
-  radius <input id="radius" type="number" value="2.0" step="0.2" style="width:4em"/>
+  radius <input id="radius" type="number" value="2.0" step="0.2" style="width:4em"/><br/>
+  show: <label><input id="ov_train" type="checkbox" checked/>train cams</label>
+  <label><input id="ov_reference" type="checkbox" checked/>reference</label>
+  <label><input id="ov_synthetic" type="checkbox"/>synthetic</label>
+  <label><input id="ov_aabb" type="checkbox" checked/>AABB</label>
+  <label><input id="ov_shape" type="checkbox"/>proxy</label><br/>
+  drag target:
+  <select id="dragel"><option>none</option><option>aabb</option>
+   <option>shape</option><option>reference</option></select>
+  <span style="color:#888">(drag on the view moves it in the camera plane)</span>
+ </div>
+ <div class="card"><h3>Selection</h3>
+  element <select id="nel"><option>aabb</option><option>shape</option>
+   <option>reference</option></select>
+  step <input id="nstep" type="number" value="0.05" step="0.01" style="width:4em"/><br/>
+  <button onclick="nt(1,0,0)">+x</button><button onclick="nt(-1,0,0)">-x</button>
+  <button onclick="nt(0,1,0)">+y</button><button onclick="nt(0,-1,0)">-y</button>
+  <button onclick="nt(0,0,1)">+z</button><button onclick="nt(0,0,-1)">-z</button><br/>
+  <button onclick="ns(1.1)">grow</button><button onclick="ns(0.9)">shrink</button>
+  <button onclick="nr(15)">rot+15&deg;</button><button onclick="nr(-15)">rot-15&deg;</button>
  </div>
  <div class="card"><h3>Training</h3>
   <pre id="state">...</pre>
@@ -82,11 +109,29 @@ async function preview(){
   document.getElementById('preview').innerHTML = Object.entries(d).map(
     ([k,v])=>`<div>${k}<br/><img width="256" src="data:image/png;base64,${v}"/></div>`).join('');
 }
+function nt(x,y,z){const s=+nstep.value;
+  post('/nudge',{element:nel.value,translate:[x*s,y*s,z*s]});refresh();}
+function ns(f){post('/nudge',{element:nel.value,scale:f});refresh();}
+function nr(d){post('/nudge',{element:nel.value,rotate_deg:[0,0,d]});refresh();}
+function ovq(){return ['train','reference','synthetic','aabb','shape'].map(
+  k=>k+'='+(document.getElementById('ov_'+k).checked?1:0)).join('&');}
+function refresh(){
+  document.getElementById('view').src = '/render?yaw='+yaw.value+'&pitch='+pitch.value+
+    '&radius='+radius.value+'&size=192&'+ovq()+'&t='+Date.now();}
+let drag=null;
+view.addEventListener('mousedown',e=>{if(dragel.value!=='none')
+  drag={x:e.offsetX,y:e.offsetY};});
+view.addEventListener('mouseup',async e=>{
+  if(!drag||dragel.value==='none'){drag=null;return;}
+  const scale=192/view.width;  // displayed px -> render px
+  await post('/drag',{element:dragel.value,
+    dx_px:(e.offsetX-drag.x)*scale, dy_px:(e.offsetY-drag.y)*scale,
+    yaw:+yaw.value, pitch:+pitch.value, radius:+radius.value, size:192});
+  drag=null; refresh();});
 async function tick(){
   const s = await (await fetch('/state')).json();
   document.getElementById('state').textContent = JSON.stringify(s,null,1);
-  document.getElementById('view').src = '/render?yaw='+yaw.value+'&pitch='+pitch.value+
-    '&radius='+radius.value+'&t='+Date.now();
+  refresh();
   setTimeout(tick, 1200);
 }
 tick();
@@ -101,22 +146,47 @@ class ViewerServer:
 
     # ------------------------------------------------------------------
 
-    def _render_view(self, yaw: float, pitch: float, radius: float, size: int = 128):
+    def _orbit_cam(self, yaw: float, pitch: float, radius: float, size: int):
+        from signerf_tpu.cameras.poses import circle_poses
+
+        pose = np.asarray(
+            circle_poses(1, radius=radius, theta=pitch, phi=(yaw, yaw))
+        )[0, :3, :]
+        return {
+            "c2w": pose,
+            "fx": size * 1.2,
+            "fy": size * 1.2,
+            "cx": size / 2,
+            "cy": size / 2,
+        }
+
+    def _render_view(
+        self,
+        yaw: float,
+        pitch: float,
+        radius: float,
+        size: int = 128,
+        show: Optional[dict] = None,
+    ):
         import jax.numpy as jnp
 
         from signerf_tpu.cameras.cameras import Cameras
-        from signerf_tpu.cameras.poses import circle_poses
+        from signerf_tpu.interface.overlay import compose_overlays
 
         trainer = self.interface.trainer
-        pose = np.asarray(
-            circle_poses(1, radius=radius, theta=pitch, phi=(yaw, yaw))
-        )[:, :3, :]
+        # render-vs-train throttling (parity: viewer.py:469-507 rays/s
+        # state machine): while training, keep viewer renders small so a
+        # view costs well under one train dispatch; full resolution when
+        # paused.
+        if trainer.training_state == "training":
+            size = min(size, 128)
+        cam = self._orbit_cam(yaw, pitch, radius, size)
         cams = Cameras(
-            camera_to_worlds=jnp.asarray(pose),
-            fx=jnp.full((1,), size * 1.2),
-            fy=jnp.full((1,), size * 1.2),
-            cx=jnp.full((1,), size / 2),
-            cy=jnp.full((1,), size / 2),
+            camera_to_worlds=jnp.asarray(cam["c2w"])[None],
+            fx=jnp.full((1,), cam["fx"]),
+            fy=jnp.full((1,), cam["fy"]),
+            cx=jnp.full((1,), cam["cx"]),
+            cy=jnp.full((1,), cam["cy"]),
             width=size,
             height=size,
         )
@@ -124,7 +194,12 @@ class ViewerServer:
         params = trainer.state.params if trainer.state is not None else pipeline.params
         rb = cams.generate_rays(camera_index=0)
         out = pipeline._render(params, rb.reshape((size * size,)))
-        return np.asarray(out["rgb"]).reshape(size, size, 3)
+        rgb = np.asarray(out["rgb"]).reshape(size, size, 3)
+        if show and any(show.values()):
+            rgb = compose_overlays(
+                rgb, cam, self.interface.scene_elements(), show
+            )
+        return rgb
 
     def _png(self, arr: np.ndarray) -> bytes:
         from signerf_tpu.utils.images import array_to_image
@@ -173,10 +248,16 @@ class ViewerServer:
                 elif url.path == "/render":
                     q = parse_qs(url.query)
                     try:
+                        show = {
+                            k: q.get(k, ["0"])[0] in ("1", "true")
+                            for k in ("train", "reference", "synthetic", "aabb", "shape")
+                        }
                         img = server._render_view(
                             float(q.get("yaw", ["30"])[0]),
                             float(q.get("pitch", ["55"])[0]),
                             float(q.get("radius", ["2.0"])[0]),
+                            int(q.get("size", ["128"])[0]),
+                            show=show,
                         )
                         data = server._png(img)
                         self.send_response(200)
@@ -186,6 +267,32 @@ class ViewerServer:
                         self.wfile.write(data)
                     except Exception as exc:  # render races dataset swaps
                         self._json({"error": str(exc)}, 500)
+                elif url.path == "/scene":
+                    s = server.interface.scene_elements()
+
+                    def poses_list(p):
+                        return None if p is None else np.asarray(p).tolist()
+
+                    self._json(
+                        {
+                            "train_poses": poses_list(s["train_poses"]),
+                            "reference_poses": poses_list(s["reference_poses"]),
+                            "synthetic_poses": poses_list(s["synthetic_poses"]),
+                            "aabb": None
+                            if s["aabb"] is None
+                            else [list(s["aabb"][0]), list(s["aabb"][1])],
+                            "shape": None
+                            if s["shape"] is None
+                            else {
+                                "num_verts": int(len(s["shape"]["verts"])),
+                                "num_faces": int(len(s["shape"]["faces"])),
+                                "center": np.asarray(s["shape"]["verts"])
+                                .mean(0)
+                                .tolist(),
+                            },
+                            "masking_mode": server.interface.gen_config.masking_mode,
+                        }
+                    )
                 else:
                     self._json({"error": "not found"}, 404)
 
@@ -225,6 +332,35 @@ class ViewerServer:
                 elif url.path == "/params":
                     server.interface.set_generation_params(**body)
                     self._json({"ok": True})
+                elif url.path == "/nudge":
+                    try:
+                        server.interface.nudge(
+                            body["element"],
+                            translate=tuple(body.get("translate", (0, 0, 0))),
+                            scale=float(body.get("scale", 1.0)),
+                            rotate_deg=tuple(body.get("rotate_deg", (0, 0, 0))),
+                        )
+                        self._json({"ok": True})
+                    except (KeyError, ValueError) as exc:
+                        self._json({"error": str(exc)}, 400)
+                elif url.path == "/drag":
+                    try:
+                        size = int(body.get("size", 128))
+                        cam = server._orbit_cam(
+                            float(body.get("yaw", 30.0)),
+                            float(body.get("pitch", 55.0)),
+                            float(body.get("radius", 2.0)),
+                            size,
+                        )
+                        server.interface.drag(
+                            body["element"],
+                            float(body["dx_px"]),
+                            float(body["dy_px"]),
+                            cam,
+                        )
+                        self._json({"ok": True})
+                    except (KeyError, ValueError) as exc:
+                        self._json({"error": str(exc)}, 400)
                 else:
                     self._json({"error": "not found"}, 404)
 

@@ -3,6 +3,7 @@ tiny e2e trainer (SURVEY.md §2a Interface/Viewer parity)."""
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -137,3 +138,231 @@ class TestViewerServer:
 
         png = base64.b64decode(sheets["edited"])
         assert png[:4] == b"\x89PNG"
+
+
+class TestOverlay:
+    """Wireframe overlay math (viewer 3D scene parity: frustums, AABB box,
+    proxy wire, screen-drag unprojection)."""
+
+    def _cam(self, size=64):
+        from signerf_tpu.cameras.poses import circle_poses
+
+        pose = np.asarray(
+            circle_poses(1, radius=2.0, theta=55.0, phi=(30.0, 30.0))
+        )[0, :3, :]
+        return {
+            "c2w": pose,
+            "fx": size * 1.2,
+            "fy": size * 1.2,
+            "cx": size / 2,
+            "cy": size / 2,
+        }
+
+    def test_project_center_lands_on_principal_point(self):
+        from signerf_tpu.interface.overlay import project_points
+
+        cam = self._cam()
+        # the orbit camera looks at the origin
+        xy, depth = project_points(
+            np.zeros((1, 3)), cam["c2w"], cam["fx"], cam["fy"], cam["cx"], cam["cy"]
+        )
+        assert depth[0] > 0
+        np.testing.assert_allclose(xy[0], [cam["cx"], cam["cy"]], atol=1e-5)
+
+    def test_point_behind_camera_culled(self):
+        from signerf_tpu.interface.overlay import draw_segments
+
+        cam = self._cam()
+        origin = cam["c2w"][:3, 3]
+        behind = origin + cam["c2w"][:3, 2] * 1.0  # +z = backward
+        img = np.zeros((64, 64, 3), np.float32)
+        segs = np.asarray([[behind, behind + 0.01]])
+        out = draw_segments(
+            img, segs, (1, 0, 0), cam["c2w"], cam["fx"], cam["fy"], cam["cx"], cam["cy"]
+        )
+        assert out.sum() == 0.0
+
+    def test_aabb_segments_are_twelve_edges(self):
+        from signerf_tpu.interface.overlay import aabb_segments
+
+        segs = aabb_segments((-1, -2, -3), (1, 2, 3))
+        assert segs.shape == (12, 2, 3)
+        lens = np.linalg.norm(segs[:, 1] - segs[:, 0], axis=1)
+        assert sorted(np.unique(np.round(lens, 5))) == [2.0, 4.0, 6.0]
+
+    def test_compose_overlays_draws_box(self):
+        from signerf_tpu.interface.overlay import COLOR_AABB, compose_overlays
+
+        cam = self._cam()
+        rgb = np.zeros((64, 64, 3), np.float32)
+        scene = {
+            "train_poses": None,
+            "reference_poses": None,
+            "synthetic_poses": None,
+            "aabb": ((-0.3, -0.3, -0.3), (0.3, 0.3, 0.3)),
+            "shape": None,
+        }
+        out = compose_overlays(rgb, cam, scene, {"aabb": True})
+        assert out.sum() > 0
+        # drawn pixels carry the AABB palette color
+        lit = out[out.sum(-1) > 0]
+        np.testing.assert_allclose(lit.mean(0), np.asarray(COLOR_AABB) * 0.9, atol=0.05)
+
+    def test_frustum_segments_shape(self):
+        from signerf_tpu.interface.overlay import frustums_for_poses
+
+        poses = np.tile(np.eye(4)[:3], (5, 1, 1))
+        segs = frustums_for_poses(poses)
+        assert segs.shape == (5 * 9, 2, 3)
+
+    def test_pixel_drag_is_camera_plane(self):
+        from signerf_tpu.interface.overlay import pixel_drag_to_world, project_points
+
+        cam = self._cam()
+        point = np.zeros(3)
+        delta = pixel_drag_to_world(10.0, 0.0, cam["c2w"], cam["fx"], cam["fy"], point)
+        # dragging +x in screen space moves the projected point +x on screen
+        xy0, _ = project_points(point[None], cam["c2w"], cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+        xy1, _ = project_points((point + delta)[None], cam["c2w"], cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+        np.testing.assert_allclose(xy1[0] - xy0[0], [10.0, 0.0], atol=1e-3)
+        delta_y = pixel_drag_to_world(0.0, 7.0, cam["c2w"], cam["fx"], cam["fy"], point)
+        xy2, _ = project_points((point + delta_y)[None], cam["c2w"], cam["fx"], cam["fy"], cam["cx"], cam["cy"])
+        np.testing.assert_allclose(xy2[0] - xy0[0], [0.0, 7.0], atol=1e-3)
+
+
+class TestSceneManipulation:
+    def test_scene_elements_aabb_mode(self, iface):
+        iface.set_selection_aabb((-0.4, -0.4, -0.4), (0.4, 0.4, 0.4))
+        iface.set_reference_circle(radius=2.0, theta=60.0)
+        s = iface.scene_elements()
+        assert s["train_poses"] is not None and s["train_poses"].shape[-2:] == (3, 4)
+        assert s["reference_poses"].shape == (3, 3, 4)
+        assert s["aabb"] == ((-0.4, -0.4, -0.4), (0.4, 0.4, 0.4))
+        assert s["shape"] is None
+
+    def test_scene_elements_shape_mode(self, iface):
+        iface.set_selection_shape("bunny", position=(0.1, 0.0, 0.0))
+        s = iface.scene_elements()
+        assert s["aabb"] is None
+        assert s["shape"] is not None and len(s["shape"]["verts"]) > 100
+        iface.set_selection_aabb((-0.4, -0.4, -0.4), (0.4, 0.4, 0.4))
+
+    def test_nudge_aabb_translate_and_scale(self, iface):
+        iface.set_selection_aabb((-0.4, -0.4, -0.4), (0.4, 0.4, 0.4))
+        iface.nudge("aabb", translate=(0.1, 0.0, 0.0))
+        gc = iface.gen_config
+        np.testing.assert_allclose(gc.aabb_min, (-0.3, -0.4, -0.4), atol=1e-9)
+        np.testing.assert_allclose(gc.aabb_max, (0.5, 0.4, 0.4), atol=1e-9)
+        iface.nudge("aabb", scale=2.0)
+        np.testing.assert_allclose(gc.aabb_min, (-0.7, -0.8, -0.8), atol=1e-9)
+        np.testing.assert_allclose(gc.aabb_max, (0.9, 0.8, 0.8), atol=1e-9)
+        iface.set_selection_aabb((-0.4, -0.4, -0.4), (0.4, 0.4, 0.4))
+
+    def test_nudge_shape_writethrough(self, iface):
+        iface.set_selection_shape("bunny", position=(0.0, 0.0, 0.0), scale=(0.1, 0.1, 0.1))
+        iface.nudge("shape", translate=(0.0, 0.2, 0.0), scale=1.5, rotate_deg=(0, 0, 90))
+        rc = iface.gen_config.renderer
+        np.testing.assert_allclose(rc.position, (0.0, 0.2, 0.0))
+        np.testing.assert_allclose(rc.scale, (0.15, 0.15, 0.15))
+        np.testing.assert_allclose(rc.rotation, (0, 0, 90))
+        iface.set_selection_aabb((-0.4, -0.4, -0.4), (0.4, 0.4, 0.4))
+
+    def test_nudge_reference_recenters_circle(self, iface):
+        iface.set_reference_circle(radius=2.0, theta=60.0)
+        before = iface.reference_poses.copy()
+        iface.nudge("reference", translate=(0.5, 0.0, 0.0))
+        after = iface.reference_poses
+        # whole ring translated by the nudge
+        np.testing.assert_allclose(
+            after[:, :3, 3] - before[:, :3, 3],
+            np.tile([[0.5, 0.0, 0.0]], (len(before), 1)),
+            atol=1e-5,
+        )
+        assert iface.circle_params["position"] == (0.5, 0.0, 0.0)
+
+    def test_drag_moves_aabb_in_camera_plane(self, iface):
+        from signerf_tpu.cameras.poses import circle_poses
+
+        iface.set_selection_aabb((-0.4, -0.4, -0.4), (0.4, 0.4, 0.4))
+        pose = np.asarray(circle_poses(1, radius=2.0, theta=55.0, phi=(0.0, 0.0)))[0, :3, :]
+        cam = {"c2w": pose, "fx": 76.8, "fy": 76.8}
+        iface.drag("aabb", 10.0, 0.0, cam)
+        gc = iface.gen_config
+        center = 0.5 * (np.asarray(gc.aabb_min) + np.asarray(gc.aabb_max))
+        assert np.linalg.norm(center) > 0.01  # moved
+        # extent unchanged by a pure drag
+        np.testing.assert_allclose(
+            np.asarray(gc.aabb_max) - np.asarray(gc.aabb_min), 0.8, atol=1e-9
+        )
+        iface.set_selection_aabb((-0.4, -0.4, -0.4), (0.4, 0.4, 0.4))
+
+
+class TestViewerSceneEndpoints:
+    @pytest.fixture(scope="class")
+    def server(self, iface):
+        srv = ViewerServer(iface, port=0)
+        httpd = srv.start_background()
+        yield f"http://127.0.0.1:{httpd.server_address[1]}", iface
+        httpd.shutdown()
+
+    def _get(self, url, timeout=240):
+        with urllib.request.urlopen(url, timeout=timeout) as r:
+            return r.status, r.read()
+
+    def _post(self, url, obj):
+        req = urllib.request.Request(
+            url, data=json.dumps(obj).encode(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, r.read()
+
+    def test_scene_endpoint(self, server):
+        base, iface = server
+        iface.set_reference_circle(radius=2.0, theta=60.0)
+        status, body = self._get(base + "/scene")
+        assert status == 200
+        s = json.loads(body)
+        assert s["masking_mode"] in ("aabb", "shape")
+        assert len(s["reference_poses"]) == 3
+        assert s["train_poses"] is not None
+
+    def test_render_with_overlays(self, server):
+        base, _ = server
+        status, body = self._get(
+            base + "/render?yaw=30&pitch=60&radius=2.0&train=1&reference=1&aabb=1"
+        )
+        assert status == 200 and body[:4] == b"\x89PNG"
+
+    def test_nudge_endpoint(self, server):
+        base, iface = server
+        iface.set_selection_aabb((-0.4, -0.4, -0.4), (0.4, 0.4, 0.4))
+        status, _ = self._post(
+            base + "/nudge", {"element": "aabb", "translate": [0.1, 0, 0]}
+        )
+        assert status == 200
+        np.testing.assert_allclose(iface.gen_config.aabb_min, (-0.3, -0.4, -0.4))
+        iface.set_selection_aabb((-0.4, -0.4, -0.4), (0.4, 0.4, 0.4))
+
+    def test_drag_endpoint(self, server):
+        base, iface = server
+        iface.set_selection_aabb((-0.4, -0.4, -0.4), (0.4, 0.4, 0.4))
+        status, _ = self._post(
+            base + "/drag",
+            {"element": "aabb", "dx_px": 8.0, "dy_px": 0.0,
+             "yaw": 30.0, "pitch": 55.0, "radius": 2.0, "size": 128},
+        )
+        assert status == 200
+        center = 0.5 * (
+            np.asarray(iface.gen_config.aabb_min)
+            + np.asarray(iface.gen_config.aabb_max)
+        )
+        assert np.linalg.norm(center) > 0.005
+        iface.set_selection_aabb((-0.4, -0.4, -0.4), (0.4, 0.4, 0.4))
+
+    def test_nudge_endpoint_bad_element(self, server):
+        base, _ = server
+        try:
+            self._post(base + "/nudge", {"element": "nope"})
+            assert False, "should 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
