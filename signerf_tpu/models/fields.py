@@ -290,10 +290,11 @@ def factor_density_geo_and_grad(
     ``differentiable_grad``: when True, the returned ddensity/dx supports
     reverse-mode wrt the encoding tables — required by the reference
     orientation-loss semantics (nerfstudio backprops through the gradient
-    normals into the density field). This forces the XLA hat/dhat GEMM path
-    because the fused Pallas grad kernel is forward-only (its output is
-    stop_gradient'd). When False (eval, or fast_normals_losses=True), the
-    fused kernel is used where available.
+    normals into the density field). On TPU this routes through
+    `grad_encode_fused` (fused Pallas forward + analytic Pallas VJP
+    backward); off-TPU through the XLA hat/dhat expression. When False
+    (eval, or fast_normals_losses=True), the forward-only fused kernel is
+    used with its output detached.
     """
     from signerf_tpu.ops.factor_grid import (
         FactorGridConfig,
@@ -322,31 +323,41 @@ def factor_density_geo_and_grad(
 
     enc_params = field_params["encoding"]
     from signerf_tpu.ops import fused_factor_pallas as ffp
-    from signerf_tpu.ops.factor_grid import _encode_fused, use_fused_kernel
+    from signerf_tpu.ops.factor_grid import (
+        _encode_fused,
+        grad_encode_fused,
+        use_fused_kernel,
+    )
 
-    if (use_fused_kernel() or ffp.FORCE_INTERPRET) and not differentiable_grad:
+    if use_fused_kernel() or ffp.FORCE_INTERPRET:
         # Fused Pallas path: primal through the differentiable encode kernel
-        # (existing custom_vjp), derivatives through the forward-only grad
-        # kernel — dfeat is stop_gradient'd, so callers needing gradient
-        # THROUGH the normals (reference orientation-loss semantics) must
-        # pass differentiable_grad=True to take the XLA branch below. vs
-        # the XLA hat/dhat GEMMs this avoids 6 [N, res] HBM
-        # materializations per level.
+        # (custom_vjp), spatial derivatives through the fused grad kernel.
+        # differentiable_grad picks which grad wrapper:
+        #   False -> forward-only kernel, dfeat stop_gradient'd (eval /
+        #            fast_normals_losses deviation);
+        #   True  -> grad_encode_fused, whose custom_vjp backward is the
+        #            analytic Pallas VJP kernel (reference orientation-loss
+        #            semantics backprop through the normals into the lines).
+        # Either way this avoids the XLA branch's 6 [N, res] HBM
+        # materializations per level in the forward.
         lines_t = tuple(
             tuple(enc_params[f"line_{lvl}_{ax}"] for ax in range(3))
             for lvl in range(len(cfg.resolutions))
         )
         feat = _encode_fused(cfg, lines_t, pos01)  # [N, D]
-        packed = ffp.pack_tables(cfg.resolutions, lines_t)
-        dfeat01 = jax.lax.stop_gradient(
-            ffp.fused_factor_grad_tpu(
-                cfg.resolutions,
-                cfg.features_per_level,
-                packed,
-                pos01,
-                ffp.FORCE_INTERPRET,
-            )
-        )  # [N, 3, D]
+        if differentiable_grad:
+            dfeat01 = grad_encode_fused(cfg, lines_t, pos01)  # [N, 3, D]
+        else:
+            packed = ffp.pack_tables(cfg.resolutions, lines_t)
+            dfeat01 = jax.lax.stop_gradient(
+                ffp.fused_factor_grad_tpu(
+                    cfg.resolutions,
+                    cfg.features_per_level,
+                    packed,
+                    pos01,
+                    ffp.FORCE_INTERPRET,
+                )
+            )  # [N, 3, D]
     else:
         feats = []
         dfeats01 = []  # derivative wrt pos01 axes

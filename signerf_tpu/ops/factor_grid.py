@@ -292,3 +292,86 @@ class FactorGridEncoding(nn.Module):
     @property
     def out_dim(self) -> int:
         return self.config.out_dim
+
+
+def dfeat01_reference(
+    cfg: FactorGridConfig,
+    lines: Tuple[Tuple[jnp.ndarray, ...], ...],
+    x01: jnp.ndarray,  # [N, 3]
+) -> jnp.ndarray:
+    """Pure-XLA d feat / d pos01 [N, 3, D] (hat/dhat GEMM expression) —
+    the differentiable reference the fused grad kernel's backward matches."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    dfeats = []
+    for lvl, res in enumerate(cfg.resolutions):
+        f_ax, df_ax = [], []
+        for ax in range(3):
+            line = lines[lvl][ax].astype(dtype)
+            f_ax.append(hat_matrix(x01[:, ax], res, dtype) @ line)
+            df_ax.append(dhat_matrix(x01[:, ax], res, dtype) @ line)
+        dfeats.append(
+            jnp.stack(
+                [
+                    df_ax[0] * f_ax[1] * f_ax[2],
+                    f_ax[0] * df_ax[1] * f_ax[2],
+                    f_ax[0] * f_ax[1] * df_ax[2],
+                ],
+                axis=-2,
+            )
+        )
+    return jnp.concatenate(dfeats, axis=-1).astype(jnp.float32)  # [N, 3, D]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def grad_encode_fused(cfg: FactorGridConfig, lines, x01: jnp.ndarray) -> jnp.ndarray:
+    """DIFFERENTIABLE fused spatial-derivative encode: d feat / d pos01
+    [N, 3, D] with a real backward (unlike `fused_factor_grad_tpu`, whose
+    custom_vjp is zero — the fast_normals_losses detached path).
+
+    Reference orientation-loss semantics backprop through the gradient
+    normals into the line tables (models/nerfacto.py, fast_normals_losses=
+    False); this wrapper keeps the fused Pallas forward AND routes the
+    backward through the analytic Pallas VJP kernel
+    (`fused_factor_grad_bwd_tpu`) on TPU, or through jax.vjp of the XLA
+    expression elsewhere."""
+    from signerf_tpu.ops import fused_factor_pallas as ffp
+
+    if use_fused_kernel() or ffp.FORCE_INTERPRET:
+        packed = ffp.pack_tables(cfg.resolutions, lines)
+        return ffp._fused_factor_grad_impl(
+            cfg.resolutions,
+            cfg.features_per_level,
+            packed,
+            x01,
+            ffp.FORCE_INTERPRET,
+        )
+    return dfeat01_reference(cfg, lines, x01)
+
+
+def _grad_encode_fused_fwd(cfg, lines, x01):
+    return grad_encode_fused(cfg, lines, x01), (lines, x01)
+
+
+def _grad_encode_fused_bwd(cfg, residuals, ct):
+    lines, x01 = residuals
+    from signerf_tpu.ops import fused_factor_pallas as ffp
+
+    if use_fused_kernel() or ffp.FORCE_INTERPRET:
+        packed = ffp.pack_tables(cfg.resolutions, lines)
+        grad_packed, grad_x = ffp.fused_factor_grad_bwd_tpu(
+            cfg.resolutions,
+            cfg.features_per_level,
+            packed,
+            x01,
+            ct,
+            ffp.FORCE_INTERPRET,
+        )
+        grad_lines = ffp.unpack_table_grads(
+            cfg.resolutions, grad_packed, cfg.features_per_level
+        )
+        return grad_lines, grad_x
+    _, vjp = jax.vjp(lambda l, x: dfeat01_reference(cfg, l, x), lines, x01)
+    return vjp(ct)
+
+
+grad_encode_fused.defvjp(_grad_encode_fused_fwd, _grad_encode_fused_bwd)

@@ -678,3 +678,239 @@ def unpack_table_grads(
             per_axis.append(out[:res])
         grads.append(tuple(per_axis))
     return tuple(grads)
+
+
+# ---------------------------------------------------------------------------
+# backward of the spatial-derivative kernel (reference normals semantics)
+# ---------------------------------------------------------------------------
+#
+# The grad kernel computes O_j = d_j * f_k * f_l per level (j, k, l a cyclic
+# axis permutation; f = hat-interp, d = dhat-interp). Reference orientation-
+# loss semantics backprop THROUGH the gradient normals into the encoding
+# (models/nerfacto.py loss_dict, fast_normals_losses=False), so given the
+# cotangent ct_j [F, BLK] per axis this kernel emits, per axis a:
+#
+#   G_hat_a  = ct_b*d_b*f_c + ct_c*d_c*f_b   (f_a's appearances in O_b, O_c)
+#   G_dhat_a = ct_a*f_b*f_c                   (d_a's appearance in O_a)
+#   grad(line_a) = hat_a-GEMM^T(G_hat_a) + dhat_a-GEMM^T(G_dhat_a)
+#   grad(u_a)    = sum_F G_hat_a * d_a
+#     (the d(dhat)/du term is zero a.e. — dhat is piecewise constant —
+#      matching the XLA expression's autodiff exactly)
+#
+# Same recompute structure / table packing / accumulation strategy as the
+# encode backward (_make_bwd_kernel above).
+
+
+def _make_grad_bwd_kernel(resolutions: Tuple[int, ...], feat: int, blk: int, mode: str):
+    assert mode in ("tables", "coords")
+    small_res, large_res = _split_levels(resolutions)
+    n_small = len(small_res)
+    c_s = n_small * feat
+    out_dim = len(resolutions) * feat
+    tables = mode == "tables"
+
+    def kernel(coords_ref, g_ref, scale_ref, offset_ref, small_x, small_y, small_z,
+               *refs):
+        n_large = len(large_res)
+        large_refs = refs[: n_large * 3]
+        out_refs = refs[n_large * 3 :]
+        if tables:
+            gsmall_refs = out_refs[:3]
+            glarge_refs = out_refs[3 : n_large * 3 + 3]
+
+            @pl.when(pl.program_id(0) == 0)
+            def _init():
+                for r in (*gsmall_refs, *glarge_refs):
+                    r[:, :] = jnp.zeros_like(r)
+        else:
+            gcoords_ref = out_refs[0]
+
+        smalls = (small_x, small_y, small_z)
+        grad_u = [None, None, None]
+
+        if n_small:
+            hats, dhats, fs, ds = [], [], [], []
+            for ax in range(3):
+                u = coords_ref[ax : ax + 1, :]
+                z = scale_ref[:, :] * u - offset_ref[:, :]  # [R_s_pad, BLK]
+                hat = jnp.maximum(0.0, 1.0 - jnp.abs(z)).astype(jnp.bfloat16)
+                dhat = (
+                    -jnp.sign(z)
+                    * (jnp.abs(z) < 1.0).astype(jnp.float32)
+                    * scale_ref[:, :]
+                ).astype(jnp.bfloat16)
+                hats.append(hat)
+                dhats.append(dhat)
+                fs.append(
+                    jax.lax.dot_general(
+                        smalls[ax][:, :], hat, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+                ds.append(
+                    jax.lax.dot_general(
+                        smalls[ax][:, :], dhat, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            for ax in range(3):
+                b, c = (ax + 1) % 3, (ax + 2) % 3
+                ct_a = g_ref[ax * out_dim : ax * out_dim + c_s, :]
+                ct_b = g_ref[b * out_dim : b * out_dim + c_s, :]
+                ct_c = g_ref[c * out_dim : c * out_dim + c_s, :]
+                G_hat = ct_b * ds[b] * fs[c] + ct_c * ds[c] * fs[b]
+                G_dhat = ct_a * fs[b] * fs[c]
+                if tables:
+                    gsmall_refs[ax][:, :] += jax.lax.dot_general(
+                        G_hat.astype(jnp.bfloat16), hats[ax],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) + jax.lax.dot_general(
+                        G_dhat.astype(jnp.bfloat16), dhats[ax],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    gu = jnp.sum(G_hat * ds[ax], axis=0, keepdims=True)
+                    grad_u[ax] = gu if grad_u[ax] is None else grad_u[ax] + gu
+
+        for li, res in enumerate(large_res):
+            r1 = _num_blocks(res)
+            r1_pad = _round_up(r1, 8)
+            off = (n_small + li) * feat
+            onehots, t1s, xlocs, f_l, d_l = [], [], [], [], []
+            for ax in range(3):
+                u = coords_ref[ax : ax + 1, :]
+                blocks = large_refs[li * 3 + ax]
+                xl = u * (res - 1)
+                a = jnp.clip(jnp.floor(xl * (1.0 / TAP_BLOCK)), 0, r1 - 1)
+                x_loc = xl - a * TAP_BLOCK
+                sub = jax.lax.broadcasted_iota(jnp.int32, (r1_pad, blk), 0)
+                onehot = (sub.astype(jnp.float32) == a).astype(jnp.bfloat16)
+                t1 = jax.lax.dot_general(
+                    blocks[:, :], onehot, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                facc = dacc = None
+                for cc in range(TAP_BLOCK + 1):
+                    d = x_loc - cc
+                    w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+                    dw = (
+                        -jnp.sign(d)
+                        * (jnp.abs(d) < 1.0).astype(jnp.float32)
+                        * (res - 1)
+                    )
+                    t = t1[cc * feat : (cc + 1) * feat, :]
+                    facc = w * t if facc is None else facc + w * t
+                    dacc = dw * t if dacc is None else dacc + dw * t
+                onehots.append(onehot)
+                t1s.append(t1)
+                xlocs.append(x_loc)
+                f_l.append(facc)
+                d_l.append(dacc)
+            for ax in range(3):
+                b, c = (ax + 1) % 3, (ax + 2) % 3
+                ct_a = g_ref[ax * out_dim + off : ax * out_dim + off + feat, :]
+                ct_b = g_ref[b * out_dim + off : b * out_dim + off + feat, :]
+                ct_c = g_ref[c * out_dim + off : c * out_dim + off + feat, :]
+                G_hat = ct_b * d_l[b] * f_l[c] + ct_c * d_l[c] * f_l[b]
+                G_dhat = ct_a * f_l[b] * f_l[c]
+                x_loc = xlocs[ax]
+                if tables:
+                    gt1_parts = []
+                    for cc in range(TAP_BLOCK + 1):
+                        d = x_loc - cc
+                        w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+                        dw = (
+                            -jnp.sign(d)
+                            * (jnp.abs(d) < 1.0).astype(jnp.float32)
+                            * (res - 1)
+                        )
+                        gt1_parts.append(w * G_hat + dw * G_dhat)
+                    gt1 = jnp.concatenate(gt1_parts, axis=0).astype(jnp.bfloat16)
+                    glarge_refs[li * 3 + ax][:, :] += jax.lax.dot_general(
+                        gt1, onehots[ax], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    gu = jnp.sum(G_hat * d_l[ax], axis=0, keepdims=True)
+                    grad_u[ax] = gu if grad_u[ax] is None else grad_u[ax] + gu
+
+        if not tables:
+            gcoords_ref[:, :] = jnp.concatenate(
+                [grad_u[0], grad_u[1], grad_u[2]], axis=0
+            )
+
+    return kernel, small_res, large_res
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 5))
+def fused_factor_grad_bwd_tpu(
+    resolutions: Tuple[int, ...],
+    feat: int,
+    packed: Tuple,
+    coords01: jnp.ndarray,  # [N, 3] f32, pre-clipped
+    ct: jnp.ndarray,  # [N, 3, D] f32 cotangent of dfeat/du
+    interpret: bool = False,
+) -> Tuple[Tuple, jnp.ndarray]:
+    """VJP of `fused_factor_grad_tpu`'s output wrt (packed tables, coords).
+
+    -> (grad_packed (structure of `packed`, f32), grad_coords [N, 3])."""
+    blk = 1024
+    n = coords01.shape[0]
+    n_pad = _round_up(max(n, blk), blk)
+    coords_t = coords01.T
+    out_dim = len(resolutions) * feat
+    ct_t = ct.reshape(n, 3 * out_dim).T  # [3D, N] axis-major rows
+    if n_pad != n:
+        coords_t = jnp.pad(coords_t, ((0, 0), (0, n_pad - n)))
+        ct_t = jnp.pad(ct_t, ((0, 0), (0, n_pad - n)))
+
+    smalls, larges = packed
+    k_tables, small_res, large_res = _make_grad_bwd_kernel(
+        resolutions, feat, blk, "tables"
+    )
+    k_coords, _, _ = _make_grad_bwd_kernel(resolutions, feat, blk, "coords")
+    s_scale, s_offset = small_meta(small_res)
+    scale_arr = jnp.asarray(s_scale)
+    offset_arr = jnp.asarray(s_offset)
+
+    grid = (n_pad // blk,)
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((3, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * out_dim, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        full(scale_arr.shape),
+        full(offset_arr.shape),
+        *[full(s.shape) for s in smalls],
+        *[full(b.shape) for b in larges],
+    ]
+    args = (coords_t, ct_t, scale_arr, offset_arr, *smalls, *larges)
+
+    table_outs = pl.pallas_call(
+        k_tables,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            *[full(s.shape) for s in smalls],
+            *[full(b.shape) for b in larges],
+        ],
+        out_shape=[
+            *[jax.ShapeDtypeStruct(s.shape, jnp.float32) for s in smalls],
+            *[jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in larges],
+        ],
+        interpret=interpret,
+    )(*args)
+    g_coords_t = pl.pallas_call(
+        k_coords,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((3, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+        interpret=interpret,
+    )(*args)
+    g_smalls = tuple(table_outs[:3])
+    g_larges = tuple(table_outs[3 : 3 + len(larges)])
+    return (g_smalls, g_larges), g_coords_t[:, :n].T

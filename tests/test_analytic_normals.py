@@ -80,6 +80,7 @@ class TestAnalyticDensityGrad:
             np.asarray(grad), np.asarray(ref), rtol=1e-3, atol=1e-4
         )
 
+    @pytest.mark.slow
     def test_model_uses_analytic_path(self, field_and_params):
         """Model forward with factor backend + predict_normals produces
         finite normals and grads flow first-order."""
@@ -107,6 +108,7 @@ class TestAnalyticDensityGrad:
         )
 
 
+@pytest.mark.slow
 class TestFusedAnalyticGrad:
     """The fused-kernel branch of factor_density_geo_and_grad (the TPU
     path), via pallas interpret mode. bf16 tables -> looser tolerances."""
@@ -189,3 +191,108 @@ class TestFusedAnalyticGrad:
         flat = jax.tree_util.tree_leaves(grads)
         assert all(np.isfinite(np.asarray(x)).all() for x in flat)
         assert any(float(np.abs(np.asarray(x)).max()) > 0 for x in flat)
+
+
+@pytest.mark.slow
+class TestFusedGradBackward:
+    """The differentiable grad-encode path (grad_encode_fused): its Pallas
+    VJP kernel must match jax.grad through the XLA dfeat01 expression —
+    reference orientation-loss semantics flow through this backward."""
+
+    def _setup(self, monkeypatch):
+        from signerf_tpu.ops import fused_factor_pallas as ffp
+        from signerf_tpu.ops.factor_grid import FactorGridConfig
+
+        monkeypatch.setattr(ffp, "FORCE_INTERPRET", True)
+        # spans both small (<=128) and large (>128) level codepaths
+        cfg = FactorGridConfig(
+            num_levels=4, base_res=8, max_res=256, features_per_level=4
+        )
+        key = jax.random.PRNGKey(0)
+        lines = tuple(
+            tuple(
+                jax.random.normal(
+                    jax.random.fold_in(key, lvl * 3 + ax), (res, 4)
+                )
+                * 0.3
+                for ax in range(3)
+            )
+            for lvl, res in enumerate(cfg.resolutions)
+        )
+        x01 = jax.random.uniform(jax.random.PRNGKey(9), (64, 3))
+        ct = jax.random.normal(
+            jax.random.PRNGKey(10), (64, 3, cfg.out_dim)
+        )
+        return cfg, lines, x01, ct
+
+    def test_forward_matches_reference(self, monkeypatch):
+        from signerf_tpu.ops.factor_grid import (
+            dfeat01_reference,
+            grad_encode_fused,
+        )
+
+        cfg, lines, x01, _ = self._setup(monkeypatch)
+        fused = np.asarray(grad_encode_fused(cfg, lines, x01), np.float64)
+        ref = np.asarray(dfeat01_reference(cfg, lines, x01), np.float64)
+        fro = np.linalg.norm(fused - ref) / (np.linalg.norm(ref) + 1e-9)
+        assert fro < 0.02, fro
+
+    def test_backward_matches_xla_autodiff(self, monkeypatch):
+        from signerf_tpu.ops.factor_grid import (
+            dfeat01_reference,
+            grad_encode_fused,
+        )
+
+        cfg, lines, x01, ct = self._setup(monkeypatch)
+
+        def loss_fused(l, x):
+            return jnp.sum(grad_encode_fused(cfg, l, x) * ct)
+
+        def loss_ref(l, x):
+            return jnp.sum(dfeat01_reference(cfg, l, x) * ct)
+
+        gl_f, gx_f = jax.grad(loss_fused, argnums=(0, 1))(lines, x01)
+        gl_r, gx_r = jax.grad(loss_ref, argnums=(0, 1))(lines, x01)
+
+        # per-level, per-axis table grads: norm-relative (bf16 GEMM contract)
+        for lvl in range(len(cfg.resolutions)):
+            for ax in range(3):
+                a = np.asarray(gl_f[lvl][ax], np.float64)
+                b = np.asarray(gl_r[lvl][ax], np.float64)
+                fro = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-9)
+                assert fro < 0.05, (lvl, ax, fro)
+        a, b = np.asarray(gx_f, np.float64), np.asarray(gx_r, np.float64)
+        fro = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-9)
+        assert fro < 0.05, fro
+
+    def test_model_reference_mode_uses_fused_and_flows(self, monkeypatch):
+        """End-to-end under interpret mode: reference-normals model training
+        gradient flows into the encoding through the fused grad path."""
+        import dataclasses
+
+        from signerf_tpu.ops import fused_factor_pallas as ffp
+
+        monkeypatch.setattr(ffp, "FORCE_INTERPRET", True)
+        from signerf_tpu.models.nerfacto import NerfactoModel
+        from tests.test_nerfacto_core import make_bundle, tiny_config
+
+        cfg = dataclasses.replace(tiny_config(), predict_normals=True)
+        model = NerfactoModel(cfg, num_train_images=2)
+        params = model.init(jax.random.PRNGKey(0))
+        rb = make_bundle(4)
+
+        def loss(p):
+            out = model.apply(p, rb, rng=jax.random.PRNGKey(1), train=True)
+            ld = model.normals_losses(out)
+            return ld["orientation_loss"]
+
+        g = jax.grad(loss)(params)
+        enc = g["field"]["encoding"]
+        total = sum(
+            float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(enc)
+        )
+        assert total > 0  # gradient reached the line tables
+        assert all(
+            bool(jnp.isfinite(x).all())
+            for x in jax.tree_util.tree_leaves(g)
+        )

@@ -4,6 +4,7 @@ ray-bundle application (cameras/camera_opt.py)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from signerf_tpu.cameras.camera_opt import (
     apply_camera_opt,
@@ -61,6 +62,7 @@ class TestApply:
         np.testing.assert_allclose(np.asarray(new_d[1]), [0, 1, 0], atol=1e-6)
         np.testing.assert_allclose(np.asarray(new_o[1]), [0.5, 0, 0], atol=1e-6)
 
+    @pytest.mark.slow
     def test_model_uses_camera_opt_in_train(self):
         from signerf_tpu.models.nerfacto import NerfactoModel
         from tests.test_nerfacto_core import make_bundle, tiny_config

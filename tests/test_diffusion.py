@@ -118,6 +118,7 @@ class TestTokenizer:
         assert not np.array_equal(ids, tok("a blue dog"))
 
 
+@pytest.mark.slow
 class TestTinyPipeline:
     @pytest.fixture(scope="class")
     def pipe(self):
@@ -174,6 +175,7 @@ class TestTinyPipeline:
         assert out.shape == (16, 16, 3)
 
 
+@pytest.mark.slow
 class TestTensorParallel:
     def test_pspecs_shard_attention(self):
         pipe = SDXLInpaintPipeline.create(config=TINY_SDXL_CONFIG)

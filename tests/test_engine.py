@@ -87,6 +87,7 @@ class TestSchedules:
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_single_device_loss_decreases(self, setup):
         model, params, cams, images = setup
         opt = make_optimizer(OptimizersConfig(), params)
@@ -156,6 +157,7 @@ class TestTrainStep:
             float(m1["psnr"]), float(m4["psnr"]), rtol=1e-4
         )
 
+    @pytest.mark.slow
     def test_micro_batched_nerfacto_step_runs(self, setup):
         model, params, cams, images = setup
         opt = make_optimizer(OptimizersConfig(), params)
@@ -169,6 +171,7 @@ class TestTrainStep:
         assert bool(jnp.isfinite(m["total_loss"]))
         assert int(state.step) == 2
 
+    @pytest.mark.slow
     def test_patch_sampling_step(self, setup):
         model, params, cams, images = setup
         opt = make_optimizer(OptimizersConfig(), params)
@@ -183,6 +186,7 @@ class TestTrainStep:
         state, m = step_fn(state, images, None, jax.random.PRNGKey(0))
         assert bool(jnp.isfinite(m["total_loss"]))
 
+    @pytest.mark.slow
     def test_mesh_train_step_matches_metrics_shape(self, setup):
         model, params, cams, images = setup
         if len(jax.devices()) < 8:
@@ -207,6 +211,7 @@ class TestTrainStep:
         leaf = jax.tree_util.tree_leaves(state.params)[0]
         assert leaf.sharding.is_fully_replicated
 
+    @pytest.mark.slow
     def test_global_batch_divided_across_mesh(self, setup):
         """settings.num_rays is the GLOBAL batch: an 8-device run must train
         with the same effective batch as single-device (VERDICT r1 weak #3 —
@@ -276,6 +281,7 @@ class TestTrainStep:
             np.asarray(out2["rgb"]), np.asarray(out["rgb"][:100]), atol=1e-5
         )
 
+    @pytest.mark.slow
     def test_eval_render_mesh_sharded_matches_single(self, setup):
         """Ray-sharded full-frame render (generation path on a mesh) must
         match the single-device renderer."""

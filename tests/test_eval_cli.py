@@ -2,6 +2,8 @@
 
 import json
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,6 +36,7 @@ class TestMetrics:
 
 
 class TestEvalCLI:
+    @pytest.mark.slow
     def test_eval_dataset(self, tmp_path):
         data = write_tiny_dataset(tmp_path / "data")
         out = tmp_path / "eval.json"

@@ -66,6 +66,7 @@ def test_boundary_coords_exact():
 
 
 @pytest.mark.parametrize("name", ["proposal", "final"])
+@pytest.mark.slow
 def test_backward_matches_reference_grads(name):
     """Pallas backward vs the XLA-reference vjp, SAME cotangent into both.
 
@@ -120,6 +121,7 @@ def test_pack_shapes():
 
 
 @pytest.mark.parametrize("name", ["final", "proposal"])
+@pytest.mark.slow
 def test_grad_kernel_matches_xla_dhat(name):
     """fused_factor_grad_tpu vs the XLA hat/dhat product-rule reference
     (the path models/fields.py uses on CPU)."""

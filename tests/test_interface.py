@@ -67,6 +67,7 @@ class TestGenerationAPI:
             == "a red bear"
         )
 
+    @pytest.mark.slow
     def test_preview_generation(self, iface):
         iface.set_reference_circle(radius=2.0, theta=60.0)
         sheets = iface.preview_generation()
@@ -78,6 +79,7 @@ class TestGenerationAPI:
             assert not np.allclose(sheets["edited"], sheets["image"])
 
 
+@pytest.mark.slow
 class TestViewerServer:
     @pytest.fixture(scope="class")
     def server(self, iface):
@@ -297,6 +299,7 @@ class TestSceneManipulation:
         iface.set_selection_aabb((-0.4, -0.4, -0.4), (0.4, 0.4, 0.4))
 
 
+@pytest.mark.slow
 class TestViewerSceneEndpoints:
     @pytest.fixture(scope="class")
     def server(self, iface):

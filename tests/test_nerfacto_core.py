@@ -172,6 +172,7 @@ class TestModel:
         _, params = model_and_params
         assert set(params.keys()) == {"field", "proposal_0", "proposal_1"}
 
+    @pytest.mark.slow
     def test_forward_shapes(self, model_and_params):
         model, params = model_and_params
         rb = make_bundle(4)
@@ -182,6 +183,7 @@ class TestModel:
         assert len(out["weights_list"]) == 2
         assert bool(jnp.isfinite(out["rgb"]).all())
 
+    @pytest.mark.slow
     def test_loss_grads_flow_and_finite(self, model_and_params):
         # Note: proposal grads can legitimately be exactly zero at random
         # init (clip(w - w_outer, 0) saturates when the proposal

@@ -13,6 +13,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full e2e flow, minutes of compiles
+
 from signerf_tpu.cameras.poses import circle_poses
 from signerf_tpu.data.datamanager import SIGNeRFDataManagerConfig
 from signerf_tpu.data.dataparser import SIGNeRFDataParserConfig

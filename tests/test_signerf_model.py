@@ -20,6 +20,7 @@ def tiny_signerf_config(**kw):
 
 
 class TestLPIPS:
+    @pytest.mark.slow
     def test_zero_for_identical(self):
         params = init_lpips(jax.random.PRNGKey(0), "alex")
         x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3)) * 2 - 1
@@ -35,6 +36,7 @@ class TestLPIPS:
         assert float(d_small.min()) > 0
         assert float(d_large.mean()) > float(d_small.mean())
 
+    @pytest.mark.slow
     def test_vgg_variant_runs(self):
         params = init_lpips(jax.random.PRNGKey(0), "vgg")
         x = jnp.zeros((1, 32, 32, 3))
@@ -56,6 +58,7 @@ class TestSIGNeRFModel:
         model = SIGNeRFModel(tiny_signerf_config(), num_train_images=3)
         return model, model.init(jax.random.PRNGKey(0))
 
+    @pytest.mark.slow
     def test_l1_loss_used(self, model_and_params):
         model, params = model_and_params
         rb = make_bundle(1024)  # one 32x32 patch
@@ -71,6 +74,7 @@ class TestSIGNeRFModel:
         for v in ld.values():
             assert bool(jnp.isfinite(v))
 
+    @pytest.mark.slow
     def test_mse_variant(self):
         model = SIGNeRFModel(
             tiny_signerf_config(use_l1=False, use_lpips=False), num_train_images=3
@@ -88,6 +92,7 @@ class TestSIGNeRFModel:
         model, params = model_and_params
         assert "lpips" not in params  # frozen, excluded from checkpoints
 
+    @pytest.mark.slow
     def test_predict_normals_losses(self):
         model = SIGNeRFModel(
             tiny_signerf_config(predict_normals=True, use_lpips=False),
@@ -185,6 +190,7 @@ class TestNormalsLossSemantics:
 
         assert float(jnp.abs(jax.grad(f_pn)(pn)).sum()) > 0
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("fast,expect_grad", [(False, True), (True, False)])
     def test_creation_time_detach_matches_mode(self, fast, expect_grad):
         """End-to-end: d sum(normals_samples) / d encoding params is nonzero
