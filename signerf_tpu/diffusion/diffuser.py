@@ -149,6 +149,7 @@ class Diffuser:
                     seed=cfg.seed,
                     mask_blur=cfg.mask_blur,
                     inpainting_fill=cfg.inpainting_fill,
+                    control_mode=cfg.controlnet_control_mode,
                 )
             )
         outs = []
@@ -196,6 +197,7 @@ class Diffuser:
             seed=cfg.seed,
             mask_blur=cfg.mask_blur,
             inpainting_fill=cfg.inpainting_fill,
+            control_mode=cfg.controlnet_control_mode,
         )
         return np.asarray(out)
 

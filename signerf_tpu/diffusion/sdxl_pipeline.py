@@ -257,6 +257,7 @@ class SDXLInpaintPipeline:
         seed: int = 1,
         mask_blur: int = 4,
         inpainting_fill: int = 1,
+        control_mode: str = "balanced",
     ) -> np.ndarray:
         """Edit one image or a whole batch in ONE jitted program.
 
@@ -318,14 +319,26 @@ class SDXLInpaintPipeline:
             if msk is not None:
                 msk = jax.device_put(msk, dp)
 
+        # A1111 control_mode names (payload parity:
+        # /root/reference/signerf/diffuser/diffuser.py:158 "Balanced") map
+        # onto the Mikubill-extension semantics implemented in _run.
+        control_mode = {
+            "balanced": "balanced",
+            "my prompt is more important": "prompt",
+            "controlnet is more important": "controlnet",
+        }.get(control_mode.strip().lower(), control_mode.strip().lower())
+        if control_mode not in ("balanced", "prompt", "controlnet"):
+            raise ValueError(f"unknown control_mode {control_mode!r}")
+
         key = (
             k_batch, h, w, len(sigmas_np), msk is not None, mask_blur,
-            inpainting_fill,
+            inpainting_fill, control_mode,
         )
         run = self._jit_cache.get(key)
         if run is None:
-            # mask_blur / inpainting_fill drive python-level control flow.
-            run = jax.jit(self._run, static_argnums=(14, 15))
+            # mask_blur / inpainting_fill / control_mode drive python-level
+            # control flow.
+            run = jax.jit(self._run, static_argnums=(14, 15, 16))
             self._jit_cache[key] = run
         out = run(
             self.params,
@@ -344,6 +357,7 @@ class SDXLInpaintPipeline:
             jax.random.PRNGKey(seed),
             mask_blur,
             inpainting_fill,
+            control_mode,
         )
         # nan_to_num: with *random-init* weights the eps prediction is
         # unbounded and the ancestral chain can diverge; real weights keep
@@ -373,6 +387,7 @@ class SDXLInpaintPipeline:
         rng,
         mask_blur: int,
         inpainting_fill: int,
+        control_mode: str = "balanced",
     ):
         cfg = self.config
         f = cfg.vae_downscale
@@ -435,7 +450,17 @@ class SDXLInpaintPipeline:
         pooled_c = jnp.repeat(pooled[1:], k_batch, 0)
         tids_k = jnp.repeat(add_time_ids, k_batch, 0)
 
-        def eps_branch(x_in, t_cont, step_frac, ctx_b, pooled_b, tids_b, cb):
+        # control_mode (Mikubill ControlNet-extension semantics, exposed by
+        # the reference payload as "Balanced" / "My prompt is more
+        # important" / "ControlNet is more important",
+        # /root/reference/signerf/diffuser/diffuser.py:56-58,158):
+        #   balanced   — residuals applied equally to both CFG branches;
+        #   prompt     — soft-weight ladder 0.825^(n-i) downweights shallow
+        #                residuals (deepest/mid keep full strength);
+        #   controlnet — the UNCOND branch runs without control, so CFG
+        #                amplifies the controlled direction.
+        def eps_branch(x_in, t_cont, step_frac, ctx_b, pooled_b, tids_b, cb,
+                       cn_gain=1.0):
             tb = jnp.full((x_in.shape[0],), t_cont)
             down_res, mid_res = self.controlnet.apply(
                 {"params": params["controlnet"]},
@@ -444,21 +469,31 @@ class SDXLInpaintPipeline:
             active = (
                 (step_frac >= controlnet_start) & (step_frac <= controlnet_end)
             ).astype(jnp.float32)
-            scale = controlnet_scale * active
+            scale = controlnet_scale * active * cn_gain
+            n_down = len(down_res)
+            if control_mode == "prompt":
+                soft = [0.825 ** (n_down - i) for i in range(n_down)]
+                mid_soft = 1.0
+            else:
+                soft = [1.0] * n_down
+                mid_soft = 1.0
             return self.unet.apply(
                 {"params": params["unet"]},
                 x_in, tb, ctx_b, pooled_b, tids_b,
-                extra_down_residuals=[r * scale for r in down_res],
-                extra_mid_residual=mid_res * scale,
+                extra_down_residuals=[
+                    r * (scale * s) for r, s in zip(down_res, soft)
+                ],
+                extra_mid_residual=mid_res * (scale * mid_soft),
             )
 
         def denoised_fn(x, sigma, step_frac):
             x_in = S.scale_model_input(x, sigma)
             t_cont = S.sigma_to_t(sigma, S.make_sd_schedule())
+            uncond_gain = 0.0 if control_mode == "controlnet" else 1.0
             if sequential_cfg:
                 eps_u = eps_branch(
                     x_in, t_cont, step_frac, ctx_u, pooled_u, tids_k,
-                    control_image,
+                    control_image, cn_gain=uncond_gain,
                 )
                 eps_c = eps_branch(
                     x_in, t_cont, step_frac, ctx_c, pooled_c, tids_k,
@@ -467,12 +502,18 @@ class SDXLInpaintPipeline:
             else:
                 xb = jnp.concatenate([x_in, x_in], axis=0)  # [2K, ...]
                 cb = jnp.concatenate([control_image, control_image], axis=0)
+                gains = jnp.concatenate(
+                    [
+                        jnp.full((k_batch,), uncond_gain, jnp.float32),
+                        jnp.ones((k_batch,), jnp.float32),
+                    ]
+                )[:, None, None, None]
                 eps = eps_branch(
                     xb, t_cont, step_frac,
                     jnp.concatenate([ctx_u, ctx_c]),
                     jnp.concatenate([pooled_u, pooled_c]),
                     jnp.concatenate([tids_k, tids_k]),
-                    cb,
+                    cb, cn_gain=gains,
                 )
                 eps_u, eps_c = eps[:k_batch], eps[k_batch:]
             eps_mix = S.cfg_mix(eps_u, eps_c, guidance_scale)
