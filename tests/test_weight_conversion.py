@@ -3,6 +3,7 @@ maps to a unique diffusers-style torch key, and a synthetic torch state
 dict round-trips through the converter bit-exactly."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -292,3 +293,77 @@ class TestCheckpointLoadPaths:
             np.testing.assert_array_equal(np.asarray(a["kernel"]), np.asarray(b["kernel"]))
         for a, b in zip(loaded.lins, p.lins):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestLPIPSExportContract:
+    """scripts/export_lpips_weights.py::convert_state_dict maps a
+    richzhang/torchmetrics-layout LPIPS state dict onto the loader's npz
+    schema — unit-tested with a synthetic torch-layout dict (no torch, no
+    real weights needed)."""
+
+    def _fake_sd(self, net):
+        import sys
+
+        sys.path.insert(0, "scripts")
+        from export_lpips_weights import _ALEX_OUT, _VGG_OUT, _ALEX_CAPTURE, _VGG_CAPTURE
+
+        outs = _ALEX_OUT if net == "alex" else _VGG_OUT
+        caps = _ALEX_CAPTURE if net == "alex" else _VGG_CAPTURE
+        rng = np.random.RandomState(0)
+        sd = {}
+        sd["scaling_layer.shift"] = rng.randn(1, 3, 1, 1).astype(np.float32)
+        sd["scaling_layer.scale"] = rng.randn(1, 3, 1, 1).astype(np.float32)
+        in_ch = 3
+        ks = [11, 5, 3, 3, 3] if net == "alex" else [3] * len(outs)
+        for i, (o, k) in enumerate(zip(outs, ks)):
+            sd[f"net.slice.{i}.weight"] = rng.randn(o, in_ch, k, k).astype(np.float32)
+            sd[f"net.slice.{i}.bias"] = rng.randn(o).astype(np.float32)
+            in_ch = o
+        for i, c in enumerate(caps):
+            sd[f"lins.{i}.model.1.weight"] = np.abs(
+                rng.randn(1, c, 1, 1)
+            ).astype(np.float32)
+        return sd
+
+    @pytest.mark.parametrize("net", ["alex", "vgg"])
+    def test_roundtrip_through_loader(self, net, tmp_path):
+        import sys
+
+        sys.path.insert(0, "scripts")
+        from export_lpips_weights import convert_state_dict
+
+        from signerf_tpu.ops.lpips import load_weights, lpips
+
+        sd = self._fake_sd(net)
+        arrs = convert_state_dict(sd, net)
+        np.savez(tmp_path / "w.npz", **arrs)
+        params = load_weights(tmp_path / "w.npz", net)
+        n_convs = 5 if net == "alex" else 13
+        assert len(params.convs) == n_convs
+        assert len(params.lins) == 5
+        # kernels transposed OIHW -> HWIO exactly
+        np.testing.assert_array_equal(
+            np.asarray(params.convs[0]["kernel"]),
+            sd["net.slice.0.weight"].transpose(2, 3, 1, 0),
+        )
+        # lins squeezed + clamped nonnegative
+        assert all(float(jnp.min(l)) >= 0 for l in params.lins)
+        # the loaded metric actually runs
+        x = jnp.zeros((1, 32, 32, 3))
+        y = jnp.ones((1, 32, 32, 3))
+        assert float(lpips(params, x, y)[0]) >= 0
+
+    def test_misordered_convs_rejected(self):
+        import sys
+
+        sys.path.insert(0, "scripts")
+        from export_lpips_weights import convert_state_dict
+
+        sd = self._fake_sd("alex")
+        # swap two conv layers -> channel order breaks -> loud failure
+        sd["net.slice.0.weight"], sd["net.slice.1.weight"] = (
+            sd["net.slice.1.weight"],
+            sd["net.slice.0.weight"],
+        )
+        with pytest.raises(ValueError, match="conv order"):
+            convert_state_dict(sd, "alex")
