@@ -29,6 +29,7 @@ jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 BASELINE_RAYS_PER_SEC = 3.0e5  # 2080 Ti nerfacto eval render (see docstring)
+V5E_PEAK_BF16_FLOPS = 197e12  # TPU v5e peak bf16 matmul throughput / chip
 
 
 def main():
@@ -93,6 +94,66 @@ def main():
     rays_per_sec = total_rays / dt
     n_chips = len(jax.devices())
     per_chip = rays_per_sec / n_chips
+
+    # Analytic executed-GEMM FLOPs (XLA cost_analysis can't see into the
+    # Pallas encode kernels — it reports ~56 kFLOP/ray vs ~50 MFLOP actually
+    # executed; see ops/flops.py).
+    from signerf_tpu.ops.flops import mxu_util, nerfacto_flops
+
+    fl = nerfacto_flops(cfg)
+    render_mxu = round(
+        mxu_util(fl.render_per_ray, per_chip, V5E_PEAK_BF16_FLOPS), 2
+    )
+
+    # --- train-step throughput + MFU (signerf_nerfacto regime: 4096 rays,
+    # full-size model, scan-batched dispatch) ---
+    from signerf_tpu.cameras.cameras import Cameras
+    from signerf_tpu.engine.optimizers import OptimizersConfig, make_optimizer
+    from signerf_tpu.engine.train_step import (
+        SamplerSettings,
+        TrainState,
+        make_train_step,
+    )
+
+    H = W = 128
+    cams = Cameras(
+        camera_to_worlds=jnp.tile(jnp.eye(4)[None, :3, :], (8, 1, 1))
+        .at[:, 2, 3]
+        .set(3.0),
+        fx=jnp.full((8,), 160.0),
+        fy=jnp.full((8,), 160.0),
+        cx=jnp.full((8,), W / 2),
+        cy=jnp.full((8,), H / 2),
+        width=W,
+        height=H,
+    )
+    images = jnp.zeros((8, H, W, 3), jnp.uint8)
+    steps_per_call = 20
+    num_rays = 4096
+    opt = make_optimizer(OptimizersConfig(), params)
+    step_fn = make_train_step(
+        model,
+        opt,
+        cams,
+        SamplerSettings(num_rays=num_rays),
+        steps_per_call=steps_per_call,
+        donate=False,
+    )
+    state = TrainState.create(params, opt)
+    key = jax.random.PRNGKey(2)
+    state, m = step_fn(state, images, None, key)  # compile
+    np.asarray(m["total_loss"])
+    t0 = time.perf_counter()
+    reps_t = 3
+    for r in range(reps_t):
+        state, m = step_fn(state, images, None, jax.random.fold_in(key, r))
+    np.asarray(m["total_loss"])
+    dt_t = (time.perf_counter() - t0) / reps_t
+    train_rays = steps_per_call * num_rays / dt_t / n_chips
+    train_mxu = round(
+        mxu_util(fl.train_per_ray, train_rays, V5E_PEAK_BF16_FLOPS), 2
+    )
+
     print(
         json.dumps(
             {
@@ -100,6 +161,14 @@ def main():
                 "value": round(per_chip, 1),
                 "unit": "rays/s/chip",
                 "vs_baseline": round(per_chip / BASELINE_RAYS_PER_SEC, 3),
+                "extras": {
+                    "render_mxu_util_pct": render_mxu,
+                    "render_mflop_per_ray": round(fl.render_per_ray / 1e6, 2),
+                    "train_rays_per_sec_per_chip": round(train_rays, 1),
+                    "train_mxu_util_pct": train_mxu,
+                    "train_mflop_per_ray": round(fl.train_per_ray / 1e6, 2),
+                    "sdxl_denoise_step_mxu_pct": 54.0,  # measured r1, README
+                },
             }
         )
     )
