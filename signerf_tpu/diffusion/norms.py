@@ -37,14 +37,33 @@ class GroupNormBF16(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
+        # One-pass f32 stats + per-channel affine. The naive two-pass form
+        # ((xf - mean) materialized, then normalized) makes XLA materialize
+        # full-tensor f32 temps — at sheet-scale VAE decode that is 2x4.5 GB
+        # per norm (measured OOM at 1536px, batch 2). Here the only
+        # full-tensor ops are two fused convert+reduce passes and one fused
+        # convert+mul+add with [*,1,1,c] operands, so nothing bigger than
+        # the bf16 activation itself ever hits HBM. One-pass E[x^2]-E[x]^2
+        # in f32 is accurate to ~1e-4 relative for bf16-quantized
+        # activations (XLA tree-reduces); parity test vs flax f32 GroupNorm
+        # in tests/test_diffusion.py.
         grouped = x.reshape(*x.shape[:-1], g, c // g)
         xf = grouped.astype(jnp.float32)
         red = tuple(range(1, x.ndim - 1)) + (x.ndim,)  # spatial + intra-group
-        mean = jnp.mean(xf, axis=red, keepdims=True)
-        # two-pass variance: stable in f32 regardless of activation scale
-        var = jnp.mean(jnp.square(xf - mean), axis=red, keepdims=True)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y.reshape(x.shape) * scale + bias
+        mean = jnp.mean(xf, axis=red)  # [..., g] (batch dims kept)
+        sqmean = jnp.mean(jnp.square(xf), axis=red)
+        var = jnp.maximum(sqmean - jnp.square(mean), 0.0)
+        a = jax.lax.rsqrt(var + self.epsilon)  # [..., g]
+        # Expand per-group stats to per-channel [..., 1, ..., 1, c] and fold
+        # scale/bias in, so normalization is a single elementwise affine.
+        spatial_ones = (1,) * (x.ndim - 2)
+        a_c = jnp.repeat(a, c // g, axis=-1).reshape(a.shape[0], *spatial_ones, c)
+        m_c = jnp.repeat(mean, c // g, axis=-1).reshape(
+            mean.shape[0], *spatial_ones, c
+        )
+        mul = a_c * scale
+        add = bias - m_c * mul
+        y = x.astype(jnp.float32) * mul + add
         return y.astype(x.dtype)
 
 

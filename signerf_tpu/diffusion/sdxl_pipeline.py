@@ -399,10 +399,19 @@ class SDXLInpaintPipeline:
         )(image, blurred)
 
         k_enc, k_fill, k_sample = jax.random.split(rng, 3)
-        init_latent = self.vae.apply(
-            {"params": params["vae"]},
-            (filled * 2.0 - 1.0),
-            method="encode",
+        # VAE encode/decode are per-image independent and their full-res
+        # activations dominate peak HBM (measured: batch-2 decode of a
+        # 1536px sheet needs ~21 GB vs 15.75 available). lax.map
+        # sequentializes over the batch so peak memory is single-image
+        # regardless of generation_batch_size; the UNet denoise loop below
+        # stays batched where the MXU win actually is.
+        init_latent = jax.lax.map(
+            lambda im: self.vae.apply(
+                {"params": params["vae"]},
+                (im[None] * 2.0 - 1.0),
+                method="encode",
+            )[0],
+            filled,
         )  # [K, h/f, w/f, C]
 
         latent_mask = jax.image.resize(
@@ -526,8 +535,11 @@ class SDXLInpaintPipeline:
         final = S.sample_euler_ancestral(
             k_sample, denoised_fn, init_latent, sigmas, inpaint
         )
-        decoded = self.vae.apply(
-            {"params": params["vae"]}, final, method="decode"
+        decoded = jax.lax.map(
+            lambda z: self.vae.apply(
+                {"params": params["vae"]}, z[None], method="decode"
+            )[0],
+            final,
         )
         return (decoded + 1.0) / 2.0
 

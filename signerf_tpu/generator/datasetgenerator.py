@@ -600,6 +600,11 @@ class DatasetGenerator:
             transforms["reference_indices"].append(idx)
             idx += 1
         self._write_transforms(transforms)
+        print(
+            f"[generator] reference sheet + {len(ref_cams)} reference views "
+            f"done ({time.time() - t_start:.0f}s)",
+            flush=True,
+        )
 
         transforms["generated_indices"] = []
         bsz = max(1, int(c.generation_batch_size))
@@ -632,6 +637,11 @@ class DatasetGenerator:
                 transforms["generated_indices"].append(idx)
                 idx += 1
             self._write_transforms(transforms)
+            print(
+                f"[generator] views {chunk[-1] + 1}/{len(gen_cams)} "
+                f"({time.time() - t_start:.0f}s)",
+                flush=True,
+            )
 
         if merge_with_original_dataset:
             transforms["original_indices"] = []

@@ -434,3 +434,47 @@ class TestControlModes:
         a = self._run(pipe, "balanced", controlnet_scale=0.0)
         b = self._run(pipe, "controlnet", controlnet_scale=0.0)
         np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+class TestGroupNormBF16:
+    """Parity of the memory-lean affine GroupNorm vs flax's f32 reference.
+
+    The one-pass E[x^2]-E[x]^2 + per-channel-affine form exists so sheet-
+    scale VAE decode never materializes full-tensor f32 temps (measured
+    2x4.5 GB per norm at 1536px before the rewrite)."""
+
+    def _pair(self, shape, groups, seed=0):
+        from flax import linen as nn
+
+        from signerf_tpu.diffusion.norms import GroupNormBF16
+
+        x = jax.random.normal(jax.random.PRNGKey(seed), shape, jnp.float32)
+        x = (x * 3.0 + 1.5).astype(jnp.bfloat16)
+        ours = GroupNormBF16(num_groups=groups)
+        ref = nn.GroupNorm(num_groups=groups, epsilon=1e-5)
+        v_ours = ours.init(jax.random.PRNGKey(1), x)
+        # same param names/shapes as flax => can share the init
+        scale = jax.random.uniform(jax.random.PRNGKey(2), (shape[-1],), minval=0.5, maxval=2.0)
+        bias = jax.random.normal(jax.random.PRNGKey(3), (shape[-1],))
+        params = {"params": {"scale": scale, "bias": bias}}
+        y_ours = ours.apply(params, x)
+        y_ref = ref.apply(params, x.astype(jnp.float32))
+        return np.asarray(y_ours, np.float32), np.asarray(y_ref, np.float32), v_ours
+
+    def test_matches_flax_4d(self):
+        y, ref, v = self._pair((2, 8, 8, 32), groups=8)
+        # bf16 output quantization dominates the tolerance
+        np.testing.assert_allclose(y, ref, atol=0.05, rtol=0.05)
+        assert y.dtype == np.float32  # cast to np; module returned bf16
+
+    def test_matches_flax_3d_tokens(self):
+        y, ref, _ = self._pair((2, 64, 32), groups=4)
+        np.testing.assert_allclose(y, ref, atol=0.05, rtol=0.05)
+
+    def test_output_dtype_follows_input(self):
+        from signerf_tpu.diffusion.norms import GroupNormBF16
+
+        x = jnp.ones((1, 4, 4, 8), jnp.bfloat16)
+        m = GroupNormBF16(num_groups=2)
+        p = m.init(jax.random.PRNGKey(0), x)
+        assert m.apply(p, x).dtype == jnp.bfloat16
