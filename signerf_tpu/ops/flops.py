@@ -162,3 +162,152 @@ def breakdown_str(f: NerfactoFlops) -> str:
         f"  {name:24s} {fl/1e6:8.2f} MFLOP/ray  ({100*fl/total:4.1f}%)"
         for name, fl in rows
     )
+
+
+# ---------------------------------------------------------------------------
+# SDXL UNet + ControlNet denoise-step FLOPs (shape interpreter)
+# ---------------------------------------------------------------------------
+
+def _conv2d_flops(hw, cin, cout, k=3, stride=1):
+    oh, ow = hw[0] // stride, hw[1] // stride
+    return 2 * k * k * cin * cout * oh * ow, (oh, ow)
+
+
+def _resnet_flops(hw, cin, cout, time_dim):
+    f, _ = _conv2d_flops(hw, cin, cout)
+    f += 2 * time_dim * cout  # time_emb_proj (per sample, 1 "token")
+    f += _conv2d_flops(hw, cout, cout)[0]
+    if cin != cout:
+        f += _conv2d_flops(hw, cin, cout, k=1)[0]
+    return f
+
+
+def _transformer_flops(hw, c, depth, ctx_len, cross_dim):
+    """Transformer2D: proj_in/out + depth x (self-attn, cross-attn, GEGLU ff).
+
+    Attention score/value GEMMs count 2*T*T'*c each regardless of head
+    split (heads partition c). Mirrors `diffusion/unet.py:182-275`.
+    """
+    t = hw[0] * hw[1]
+    f = 2 * 2 * c * c * t  # proj_in + proj_out
+    per = 0
+    per += 4 * 2 * c * c * t  # self q,k,v,out
+    per += 2 * 2 * t * t * c  # self QK^T + AV
+    per += 2 * 2 * c * c * t  # cross q + out (over image tokens)
+    per += 2 * 2 * cross_dim * c * ctx_len  # cross k,v (over text tokens)
+    per += 2 * 2 * t * ctx_len * c  # cross QK^T + AV
+    per += 2 * c * (8 * c) * t  # GEGLU proj (dim_out*2 = 8c)
+    per += 2 * (4 * c) * c * t  # ff_out
+    return f + depth * per
+
+
+def unet_flops(
+    ucfg,
+    latent_hw: Tuple[int, int],
+    ctx_len: int = 77,
+    encoder_only: bool = False,
+) -> int:
+    """Per-sample GEMM FLOPs of one `UNetCore` forward
+    (`diffusion/unet.py:277-412`), tracked with the exact residual-stack
+    channel bookkeeping of the up path. `encoder_only=True` gives the
+    ControlNet core (down + mid only)."""
+    chans = list(ucfg.block_out_channels)
+    time_dim = chans[0] * 4
+    hw = latent_hw
+    total = 0
+    # time/add embeds: tiny Denses, counted for completeness
+    total += 2 * (chans[0] * time_dim + time_dim * time_dim)
+    total += 2 * (
+        ucfg.projection_class_embeddings_input_dim * time_dim
+        + time_dim * time_dim
+    )
+
+    total += _conv2d_flops(hw, ucfg.in_channels, chans[0])[0]  # conv_in
+    h_ch = chans[0]
+    residuals = [(h_ch, hw)]
+    for i, ch in enumerate(chans):
+        depth = ucfg.transformer_layers[i]
+        for _ in range(ucfg.layers_per_block):
+            total += _resnet_flops(hw, h_ch, ch, time_dim)
+            h_ch = ch
+            if depth > 0:
+                total += _transformer_flops(
+                    hw, ch, depth, ctx_len, ucfg.cross_attention_dim
+                )
+            residuals.append((h_ch, hw))
+        if i < len(chans) - 1:
+            f, hw = _conv2d_flops(hw, ch, ch, stride=2)
+            total += f
+            residuals.append((ch, hw))
+
+    # mid
+    total += _resnet_flops(hw, h_ch, chans[-1], time_dim)
+    if ucfg.transformer_layers[-1] > 0:
+        total += _transformer_flops(
+            hw, chans[-1], ucfg.transformer_layers[-1], ctx_len,
+            ucfg.cross_attention_dim,
+        )
+    total += _resnet_flops(hw, chans[-1], chans[-1], time_dim)
+    h_ch = chans[-1]
+
+    if encoder_only:
+        return total
+
+    for i, ch in enumerate(reversed(chans)):
+        block_idx = len(chans) - 1 - i
+        depth = ucfg.transformer_layers[block_idx]
+        for _ in range(ucfg.layers_per_block + 1):
+            res_ch, _res_hw = residuals.pop()
+            total += _resnet_flops(hw, h_ch + res_ch, ch, time_dim)
+            h_ch = ch
+            if depth > 0:
+                total += _transformer_flops(
+                    hw, ch, depth, ctx_len, ucfg.cross_attention_dim
+                )
+        if i < len(chans) - 1:
+            hw = (hw[0] * 2, hw[1] * 2)
+            total += _conv2d_flops(hw, ch, ch)[0]
+
+    total += _conv2d_flops(hw, h_ch, ucfg.out_channels)[0]  # conv_out
+    return total
+
+
+def controlnet_flops(ucfg, latent_hw, ctx_len: int = 77) -> int:
+    """ControlNet-depth forward (`diffusion/unet.py:440-505`): conditioning
+    stem at pixel resolution + encoder-only core + 1x1 zero convs."""
+    steps = 3  # SDXL pixel->latent stem
+    hw = (latent_hw[0] * (2 ** steps), latent_hw[1] * (2 ** steps))
+    total = _conv2d_flops(hw, 3, 16)[0]
+    stem = ((16, 32), (32, 96), (96, 256))
+    for same_ch, next_ch in stem:
+        total += _conv2d_flops(hw, same_ch, same_ch)[0]
+        f, hw = _conv2d_flops(hw, same_ch, next_ch, stride=2)
+        total += f
+    total += _conv2d_flops(hw, 256, ucfg.block_out_channels[0])[0]
+    total += unet_flops(ucfg, latent_hw, ctx_len, encoder_only=True)
+    # zero convs: one 1x1 per residual + mid; residual count =
+    # 1 (conv_in) + layers_per_block*len(chans) + (len(chans)-1) downsamples
+    chans = list(ucfg.block_out_channels)
+    res_hw = latent_hw
+    total += _conv2d_flops(res_hw, chans[0], chans[0], k=1)[0]
+    for i, ch in enumerate(chans):
+        for _ in range(ucfg.layers_per_block):
+            total += _conv2d_flops(res_hw, ch, ch, k=1)[0]
+        if i < len(chans) - 1:
+            res_hw = (res_hw[0] // 2, res_hw[1] // 2)
+            total += _conv2d_flops(res_hw, ch, ch, k=1)[0]
+    total += _conv2d_flops(res_hw, chans[-1], chans[-1], k=1)[0]  # mid
+    return total
+
+
+def sdxl_denoise_step_flops(
+    ucfg, latent_hw, ctx_len: int = 77, cfg_batch: int = 2,
+    controlnet: bool = True,
+) -> int:
+    """One sampler step: UNet (+ControlNet) over the CFG-duplicated batch.
+    Cross-check: 128x128 latents, CFG 2, with ControlNet -> ~20 TFLOP,
+    matching the measured 190 ms/step at ~54% MXU (README bench table)."""
+    per = unet_flops(ucfg, latent_hw, ctx_len)
+    if controlnet:
+        per += controlnet_flops(ucfg, latent_hw, ctx_len)
+    return cfg_batch * per

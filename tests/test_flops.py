@@ -60,3 +60,57 @@ def test_predict_normals_adds_head():
 
 def test_mxu_util_formula():
     assert math.isclose(mxu_util(50e6, 1e6, 197e12), 100 * 50e12 / 197e12)
+
+
+def test_sdxl_step_flops_magnitude():
+    # 190 ms/step measured at ~54% MXU on v5e (197 TFLOP/s peak) => ~20 TFLOP.
+    from signerf_tpu.diffusion.sdxl_pipeline import SDXL_UNET_CONFIG
+    from signerf_tpu.ops.flops import sdxl_denoise_step_flops
+
+    fl = sdxl_denoise_step_flops(SDXL_UNET_CONFIG, (128, 128))
+    assert 14e12 < fl < 26e12, fl / 1e12
+
+
+def test_unet_flops_tiny_by_hand():
+    # Single block, no attention, layers_per_block=1: hand-derivable.
+    import dataclasses
+
+    from signerf_tpu.diffusion.unet import UNetConfig
+    from signerf_tpu.ops.flops import unet_flops
+
+    cfg = UNetConfig(
+        block_out_channels=(8,),
+        layers_per_block=1,
+        transformer_layers=(0,),
+        projection_class_embeddings_input_dim=16,
+    )
+    h = w = 4
+    t = 32  # time_dim = 8*4
+    expect = 0
+    expect += 2 * (8 * t + t * t)  # time embed
+    expect += 2 * (16 * t + t * t)  # add embed
+    expect += 2 * 9 * 4 * 8 * h * w  # conv_in (in_channels=4)
+    # down resnet 8->8: conv1 + time proj + conv2 (no shortcut)
+    res = 2 * 9 * 8 * 8 * h * w + 2 * t * 8 + 2 * 9 * 8 * 8 * h * w
+    expect += res
+    # mid res x2 (8->8)
+    expect += 2 * res
+    # up path: layers_per_block+1 = 2 resnets with concat skips
+    # residual stack: [(8 conv_in), (8 down res)]; both pops give cin=16
+    res_up = (
+        2 * 9 * 16 * 8 * h * w + 2 * t * 8 + 2 * 9 * 8 * 8 * h * w
+        + 2 * 16 * 8 * h * w  # 1x1 shortcut (16 != 8)
+    )
+    expect += 2 * res_up
+    expect += 2 * 9 * 8 * 4 * h * w  # conv_out
+    got = unet_flops(cfg, (h, w))
+    assert got == expect, (got, expect)
+
+
+def test_controlnet_encoder_cheaper_than_full():
+    from signerf_tpu.diffusion.sdxl_pipeline import SDXL_UNET_CONFIG
+    from signerf_tpu.ops.flops import controlnet_flops, unet_flops
+
+    full = unet_flops(SDXL_UNET_CONFIG, (64, 64))
+    ctrl = controlnet_flops(SDXL_UNET_CONFIG, (64, 64))
+    assert ctrl < full  # encoder-only core + stem < full UNet
