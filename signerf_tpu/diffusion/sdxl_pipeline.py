@@ -83,6 +83,23 @@ def _context_dim(cfg: SDXLConfig) -> int:
     return cfg.clip_l.hidden_size + cfg.clip_g.hidden_size
 
 
+def _worst_selfattn_scores(ucfg: UNetConfig, lat_h: int, lat_w: int) -> int:
+    """Largest per-batch-element self-attention score term (heads * S^2),
+    derived from the UNet config (block i attends at latent>>i; heads =
+    ch/head_dim). Mirrors the per-layer einsum-vs-flash gate in unet.py
+    (score_bytes = 2 * b * heads * sq * sk) for ANY config, not just
+    SDXL's (10 heads, half-res)."""
+    return max(
+        (
+            (ch // ucfg.attention_head_dim)
+            * ((lat_h >> i) * (lat_w >> i)) ** 2
+            for i, ch in enumerate(ucfg.block_out_channels)
+            if ucfg.transformer_layers[i] > 0
+        ),
+        default=0,
+    )
+
+
 class SDXLInpaintPipeline:
     """Holds module defs + params and exposes `img2img`."""
 
@@ -276,6 +293,55 @@ class SDXLInpaintPipeline:
             f"image dims must be /{f} (sheet is /8-padded upstream)"
         )
 
+        # Data-parallel per-view generation: with a "data" mesh axis, shard
+        # the view batch's leading dim over it (params replicated — see
+        # _shard_params) and let GSPMD partition the whole sampler. This is
+        # the multi-chip fast path for SURVEY.md §3.2's per-camera hot loop:
+        # K spliced sheets denoise simultaneously, one per chip group.
+        data_size = (
+            self.mesh.shape["data"]
+            if self.mesh is not None and "data" in self.mesh.axis_names
+            else 0
+        )
+
+        # Serial-views fast path: at sheet scale the per-layer einsum
+        # attention fits at view-batch 1 but crosses the flash-score
+        # threshold at K>1 (unet.py gate) — and where einsum fits it is
+        # ~2.4x faster than the flash kernel (measured on v5e at a 1536px
+        # sheet: 1190 ms/step for a K=2 flash batch vs 2x312 ms for K=1
+        # einsum calls). When no data axis shards the view batch, K serial
+        # einsum dispatches beat one flash dispatch, so run views one at a
+        # time through the (cached) k_batch=1 program. Per-view RNG then
+        # matches the reference's fixed-seed-per-call semantics
+        # (/root/reference/signerf/diffuser/diffuser.py:47 seed=1 per view).
+        if not single and k_batch > 1 and (data_size <= 1 or k_batch % data_size):
+            from signerf_tpu.diffusion.unet import FLASH_SCORE_BYTES_THRESHOLD
+
+            worst = _worst_selfattn_scores(cfg.unet, h // f, w // f)
+            if (
+                cfg.unet.use_flash_attention
+                and 2 * 1 * worst < FLASH_SCORE_BYTES_THRESHOLD
+                and 2 * k_batch * worst >= FLASH_SCORE_BYTES_THRESHOLD
+            ):
+                def per_view(x, k):
+                    if x is None or np.ndim(x) == 3:
+                        return x  # shared [H, W, C] conditioning
+                    return np.asarray(x)[k]
+
+                return np.stack(
+                    [
+                        self.img2img(
+                            np.asarray(image)[k], prompt, negative_prompt,
+                            per_view(mask, k), per_view(control_image, k),
+                            strength, num_steps, guidance_scale,
+                            controlnet_scale, controlnet_start,
+                            controlnet_end, seed, mask_blur,
+                            inpainting_fill, control_mode,
+                        )
+                        for k in range(k_batch)
+                    ]
+                )
+
         def batched(x, channels):
             if x is None:
                 return None
@@ -300,16 +366,6 @@ class SDXLInpaintPipeline:
         elif ctrl.shape[-1] == 1:
             ctrl = jnp.repeat(ctrl, 3, axis=-1)
 
-        # Data-parallel per-view generation: with a "data" mesh axis, shard
-        # the view batch's leading dim over it (params replicated — see
-        # _shard_params) and let GSPMD partition the whole sampler. This is
-        # the multi-chip fast path for SURVEY.md §3.2's per-camera hot loop:
-        # K spliced sheets denoise simultaneously, one per chip group.
-        data_size = (
-            self.mesh.shape["data"]
-            if self.mesh is not None and "data" in self.mesh.axis_names
-            else 0
-        )
         if data_size > 1 and k_batch % data_size == 0:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -435,21 +491,7 @@ class SDXLInpaintPipeline:
         # sequential-einsum — 1.9x. Same math, same rng, just scheduling.
         from signerf_tpu.diffusion.unet import FLASH_SCORE_BYTES_THRESHOLD
 
-        lat_h, lat_w = h // f, w // f
-        # Largest per-element self-attention score term, derived from the
-        # UNet config (block i attends at latent>>i; heads = ch/head_dim) so
-        # this mirrors the per-layer flash gate in unet.py for ANY config,
-        # not just SDXL's (10 heads, half-res).
-        ucfg = self.unet.config
-        worst_scores = max(
-            (
-                (ch // ucfg.attention_head_dim)
-                * ((lat_h >> i) * (lat_w >> i)) ** 2
-                for i, ch in enumerate(ucfg.block_out_channels)
-                if ucfg.transformer_layers[i] > 0
-            ),
-            default=0,
-        )
+        worst_scores = _worst_selfattn_scores(self.unet.config, h // f, w // f)
         batched_score_bytes = 2 * (2 * k_batch) * worst_scores
         sequential_cfg = batched_score_bytes >= FLASH_SCORE_BYTES_THRESHOLD
 

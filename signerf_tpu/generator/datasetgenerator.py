@@ -127,6 +127,12 @@ class DatasetGenerator:
         self.is_synthetic = False
         self._mesh: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
         self.dataset_path: Optional[Path] = None
+        # Async PNG writer: device->host transfer + PNG encode of the 8
+        # per-view images (~2-4 s over the tunnel) runs in worker threads
+        # so the main thread keeps dispatching render/diffusion work.
+        self._save_pool = None
+        self._pending_prev: List = []
+        self._pending_cur: List = []
 
     # ------------------------------------------------------------------
     # intrinsics backfill (parity: signerf_pipeline.py:60-88)
@@ -233,7 +239,34 @@ class DatasetGenerator:
             "original_scale_factor": self.original_scale_factor,
         }
 
+    def _submit_save(self, arr, path: Path) -> None:
+        """Queue a PNG save on the writer pool (device fetch + encode run in
+        the worker thread)."""
+        if self._save_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._save_pool = ThreadPoolExecutor(
+                max_workers=4, thread_name_prefix="png-writer"
+            )
+        # Pass the device array through: the np conversion inside
+        # save_array_png then runs on the worker thread.
+        self._pending_cur.append(self._save_pool.submit(save_array_png, arr, path))
+
+    def flush_saves(self) -> None:
+        """Wait for every queued PNG save (re-raising worker exceptions)."""
+        for fut in self._pending_prev + self._pending_cur:
+            fut.result()
+        self._pending_prev, self._pending_cur = [], []
+
     def _write_transforms(self, transforms: Dict[str, Any]) -> None:
+        # Resume invariant, relaxed by ONE chunk: saves queued before the
+        # *previous* write are guaranteed on disk before this write lands,
+        # so transforms.json can momentarily list at most the latest
+        # chunk's still-encoding frames. generate_dataset() ends with
+        # flush_saves(), so a completed generation is fully consistent.
+        for fut in self._pending_prev:
+            fut.result()
+        self._pending_prev, self._pending_cur = self._pending_cur, []
         with open(self.dataset_path / "transforms.json", "w") as fh:
             json.dump(transforms, fh, indent=4)
 
@@ -486,30 +519,30 @@ class DatasetGenerator:
         dp = self.dataset_path
         ds = c.downscale_factor
         if "edited" in images:
-            save_array_png(images["edited"], dp / "images" / f"image_{idx}.png")
+            self._submit_save(images["edited"], dp / "images" / f"image_{idx}.png")
         if "render" in images:
             sub = "originals" if is_original else "rendered"
-            save_array_png(images["render"], dp / sub / f"image_{idx}.png")
+            self._submit_save(images["render"], dp / sub / f"image_{idx}.png")
         if "mask" in images:
-            save_array_png(images["mask"], dp / "masks" / f"mask_{idx}.png")
+            self._submit_save(images["mask"], dp / "masks" / f"mask_{idx}.png")
         if "condition" in images:
-            save_array_png(
+            self._submit_save(
                 images["condition"], dp / "conditions" / f"condition_{idx}.png"
             )
         if "edited_scaled" in images:
-            save_array_png(
+            self._submit_save(
                 images["edited_scaled"], dp / f"images_{ds}" / f"image_{idx}.png"
             )
         if "render_scaled" in images:
-            save_array_png(
+            self._submit_save(
                 images["render_scaled"], dp / f"rendered_{ds}" / f"image_{idx}.png"
             )
         if "mask_scaled" in images:
-            save_array_png(
+            self._submit_save(
                 images["mask_scaled"], dp / f"masks_{ds}" / f"mask_{idx}.png"
             )
         if "condition_scaled" in images:
-            save_array_png(
+            self._submit_save(
                 images["condition_scaled"],
                 dp / f"conditions_{ds}" / f"condition_{idx}.png",
             )
@@ -668,6 +701,7 @@ class DatasetGenerator:
                 idx += 1
             self._write_transforms(transforms)
 
+        self.flush_saves()
         print(
             f"[generator] dataset generated in "
             f"{(time.time() - t_start) / 60:.2f} minutes -> {self.dataset_path}"

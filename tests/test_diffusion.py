@@ -156,6 +156,42 @@ class TestTinyPipeline:
         assert ctx.shape == (2, 77, 32)  # 16 + 16 concat
         assert pooled.shape == (2, 16)
 
+    def test_serial_views_when_batch_crosses_flash_threshold(
+        self, pipe, monkeypatch
+    ):
+        """When the per-layer einsum attention fits at view-batch 1 but
+        would cross the flash-score threshold at K>1 (and no data mesh
+        axis shards the batch), img2img dispatches views serially through
+        the k_batch=1 program — bitwise equal to per-view calls."""
+        from signerf_tpu.diffusion import unet as unet_mod
+        from signerf_tpu.diffusion.sdxl_pipeline import _worst_selfattn_scores
+
+        worst = _worst_selfattn_scores(pipe.config.unet, 8, 8)  # 16px, f=2
+        assert worst > 0
+        # threshold between b=1 and b=2 score bytes -> serial at K=2
+        monkeypatch.setattr(
+            unet_mod, "FLASH_SCORE_BYTES_THRESHOLD", 3 * worst
+        )
+        rng = np.random.RandomState(3)
+        imgs = rng.rand(2, 16, 16, 3).astype(np.float32)
+        masks = (rng.rand(2, 16, 16, 1) > 0.5).astype(np.float32)
+        pipe._jit_cache.clear()
+        out = pipe.img2img(imgs, "p", mask=masks, num_steps=2, seed=5)
+        assert out.shape == (2, 16, 16, 3)
+        # only the single-view program was compiled
+        assert all(key[0] == 1 for key in pipe._jit_cache)
+        for k in range(2):
+            single = pipe.img2img(
+                imgs[k], "p", mask=masks[k], num_steps=2, seed=5
+            )
+            np.testing.assert_array_equal(out[k], single)
+        # with the real (huge) threshold the batched program is used
+        monkeypatch.undo()
+        pipe._jit_cache.clear()
+        out_b = pipe.img2img(imgs, "p", mask=masks, num_steps=2, seed=5)
+        assert out_b.shape == (2, 16, 16, 3)
+        assert any(key[0] == 2 for key in pipe._jit_cache)
+
     def test_prompt_encoding_cached(self, pipe):
         a = pipe.encode_prompt("same prompt", "neg")
         b = pipe.encode_prompt("same prompt", "neg")
