@@ -13,6 +13,10 @@ import sys
 import time
 
 import jax
+
+from signerf_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 import jax.numpy as jnp
 import numpy as np
 

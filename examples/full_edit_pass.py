@@ -6,6 +6,10 @@ import numpy as np
 # run from the repo root
 
 import jax, jax.numpy as jnp
+
+from signerf_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 from pathlib import Path
 from signerf_tpu.cameras.cameras import Cameras
 from signerf_tpu.cameras.poses import circle_poses

@@ -105,7 +105,11 @@ class DatasetGeneratorConfig:
     """Views diffused per call in the per-view loop. >1 batches K spliced
     sheets through ONE SDXL program (TPU fast path; the reference's serial
     per-camera loop is the main latency sink, SURVEY.md §3.2). 1 = serial
-    parity."""
+    parity. Note: at sheet scales where batching alone would push the UNet
+    self-attention over the einsum->flash threshold, the SDXL pipeline
+    auto-serializes the batch into single-view dispatches (the einsum path
+    is ~2x faster there, see sdxl_pipeline.img2img); batching still wins
+    below the threshold and on data-parallel meshes."""
 
 
 class DatasetGenerator:

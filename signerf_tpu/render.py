@@ -26,6 +26,9 @@ from signerf_tpu import config as cfglib
 
 
 def main(argv=None) -> int:
+    from signerf_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

@@ -26,6 +26,9 @@ from signerf_tpu.method_configs import METHODS
 
 
 def main(argv=None) -> int:
+    from signerf_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
