@@ -1,0 +1,216 @@
+"""North-star scale demo: reference-scale SIGNeRF edit pass on ONE chip.
+
+Reference scale (/root/reference/README.md:283): ~100 dataset views,
+3x3 reference sheet, 20k refinement iterations (signerf method) — ~20 min
+generation + ~40 min fine-tune on a 2080 Ti + 3090/4090 pair.
+
+This script runs the same shape of work end to end on one TPU v5e chip
+with the full-architecture SDXL (random weights — identical FLOPs/shapes
+to real weights) and reports per-phase wall-clock + eval PSNR on the
+edited dataset, plus the v5e-8 projection (generation is
+embarrassingly data-parallel over views; training is DP over rays).
+
+Usage: python examples/north_star_pass.py [n_views] [refine_steps]
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+
+from signerf_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+import jax.numpy as jnp
+
+from signerf_tpu.cameras.cameras import Cameras
+from signerf_tpu.cameras.poses import circle_poses
+from signerf_tpu.utils.images import save_array_png
+
+N_VIEWS = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+REFINE_STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+PRETRAIN_STEPS = 2000
+H = W = 1024
+
+ROOT = Path("outputs/north_star")
+ROOT.mkdir(parents=True, exist_ok=True)
+DATA = ROOT / "data"
+
+
+def analytic_rgb(o, d):
+    """Shaded unit sphere + ground-ish gradient background."""
+    b = jnp.sum(o * d, -1)
+    c = jnp.sum(o * o, -1) - 1.0
+    disc = b * b - c
+    hit = disc > 0
+    t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+    p = o + d * t[..., None]
+    bg = 0.55 + 0.3 * d  # direction-dependent backdrop
+    return jnp.where(hit[..., None], jnp.abs(p), jnp.clip(bg, 0, 1))
+
+
+def build_dataset():
+    (DATA / "images").mkdir(parents=True, exist_ok=True)
+    poses = np.asarray(
+        circle_poses(
+            N_VIEWS, radius=3.0, theta=60.0, phi=(0.0, 360.0 * (N_VIEWS - 1) / N_VIEWS)
+        )
+    )
+    frames = []
+    for i in range(N_VIEWS):
+        cams = Cameras(
+            camera_to_worlds=jnp.asarray(poses[i : i + 1, :3]),
+            fx=jnp.array([1200.0]),
+            fy=jnp.array([1200.0]),
+            cx=jnp.array([W / 2]),
+            cy=jnp.array([H / 2]),
+            width=W,
+            height=H,
+        )
+        rb = cams.generate_rays(0)
+        img = analytic_rgb(rb.origins, rb.directions)
+        save_array_png(np.asarray(img), DATA / "images" / f"frame_{i:05d}.png")
+        frames.append(
+            {
+                "file_path": f"images/frame_{i:05d}.png",
+                "transform_matrix": poses[i].tolist(),
+            }
+        )
+        if i % 20 == 0:
+            print(f"  dataset image {i}/{N_VIEWS}", flush=True)
+    (DATA / "transforms.json").write_text(
+        json.dumps(
+            {
+                "camera_model": "OPENCV",
+                "fl_x": 1200.0,
+                "fl_y": 1200.0,
+                "cx": W / 2,
+                "cy": H / 2,
+                "w": W,
+                "h": H,
+                "frames": frames,
+            }
+        )
+    )
+    print("dataset written", flush=True)
+
+
+if not (DATA / "transforms.json").exists():
+    build_dataset()
+
+from signerf_tpu.diffusion.diffuser import Diffuser  # noqa: E402
+from signerf_tpu.engine.trainer import SIGNeRFTrainer  # noqa: E402
+from signerf_tpu.method_configs import signerf_method  # noqa: E402
+
+cfg = signerf_method()
+cfg.output_dir = ROOT / "out"
+cfg.pipeline.datamanager.dataparser.data = DATA
+cfg.pipeline.datamanager.dataparser.downscale_factor = 1  # keep 1024px
+cfg.pipeline.model.far_plane = 8.0
+cfg.max_num_iterations = PRETRAIN_STEPS
+cfg.steps_per_call = 100
+cfg.steps_per_save = 10000
+gen = cfg.pipeline.dataset_generator
+gen.path = ROOT / "generations"
+gen.dataset_name = "edit0"
+gen.rows, gen.cols = 3, 3  # 3x3 sheet (paper scale), 8 reference views
+gen.downscale_factor = 2  # 512px cells -> 1536px padded sheet
+gen.masking_mode = "aabb"
+gen.aabb_min = (-0.5, -0.5, -0.5)
+gen.aabb_max = (0.5, 0.5, 0.5)
+gen.generation_batch_size = 2
+gen.diffuser.mode = "jax_sdxl"
+gen.diffuser.num_inference_steps = 20
+gen.diffuser.prompt = "a stone sphere"
+
+phases = {}
+
+t0 = time.time()
+trainer = SIGNeRFTrainer(cfg)
+trainer.setup()
+phases["setup"] = time.time() - t0
+print(f"setup: {phases['setup']:.0f}s", flush=True)
+
+# --- pretrain (stands in for the pre-existing nerfacto checkpoint; NOT part
+# of the reference's timed edit pass) ---
+t0 = time.time()
+trainer.train()
+phases["pretrain_2k"] = time.time() - t0
+print(f"pretrain {PRETRAIN_STEPS} steps: {phases['pretrain_2k']:.0f}s", flush=True)
+
+# --- timed edit pass: generation ---
+trainer.step = 0
+ref = np.asarray(circle_poses(8, radius=3.0, theta=55.0, phi=(0.0, 315.0)))[:, :3]
+t0 = time.time()
+generated = trainer.generate_dataset(reference_camera_to_worlds=ref)
+phases["generation"] = time.time() - t0
+print(
+    f"dataset generation ({N_VIEWS} views + 8 refs, 3x3 sheet 1536px, "
+    f"full SDXL 20 steps, batch {gen.generation_batch_size}): "
+    f"{phases['generation']:.0f}s",
+    flush=True,
+)
+
+# --- timed edit pass: exchange + refinement ---
+t0 = time.time()
+trainer.exchange_training_dataset(generated)
+phases["exchange"] = time.time() - t0
+print(f"exchange: {phases['exchange']:.0f}s", flush=True)
+
+cfg.max_num_iterations = REFINE_STEPS
+t0 = time.time()
+trainer.train()
+phases["refine"] = time.time() - t0
+print(f"refine {REFINE_STEPS} steps: {phases['refine']:.0f}s", flush=True)
+
+# --- eval PSNR on the edited dataset ---
+t0 = time.time()
+dm = trainer.pipeline.datamanager
+cams = dm.cameras
+n_eval = min(4, len(cams))
+psnrs = []
+for i in range(n_eval):
+    rb = cams.generate_rays(camera_index=i)
+    hh, ww = cams.height, cams.width
+    out = trainer.pipeline._render(
+        trainer.state.params, rb.reshape((hh * ww,)), appearance_mode="index"
+    )
+    pred = np.asarray(out["rgb"]).reshape(hh, ww, 3)
+    target = np.asarray(dm.images[i], np.float32) / 255.0
+    mse = float(np.mean((pred - target) ** 2))
+    psnrs.append(-10 * np.log10(max(mse, 1e-12)))
+    if i == 0:
+        save_array_png(pred, ROOT / "refined_render_0.png")
+phases["eval"] = time.time() - t0
+print(f"eval PSNR on edited dataset ({n_eval} views): "
+      f"{np.mean(psnrs):.2f} dB (per-view {['%.1f' % p for p in psnrs]})",
+      flush=True)
+
+edit_pass = phases["generation"] + phases["exchange"] + phases["refine"]
+print("\n==== NORTH STAR SUMMARY (1x v5e chip) ====", flush=True)
+for k, v in phases.items():
+    print(f"  {k:14s} {v:7.0f}s", flush=True)
+print(f"  EDIT PASS      {edit_pass:7.0f}s  ({edit_pass/60:.1f} min)", flush=True)
+print(
+    "  v5e-8 projection: generation is DP over views (/8 => "
+    f"{phases['generation']/8:.0f}s), refinement DP over rays at fixed "
+    f"global batch (/~6 conservatively => {phases['refine']/6:.0f}s) => "
+    f"~{(phases['generation']/8 + phases['exchange'] + phases['refine']/6)/60:.1f} min total",
+    flush=True,
+)
+print(
+    json.dumps(
+        {
+            "n_views": N_VIEWS,
+            "refine_steps": REFINE_STEPS,
+            "phases_s": {k: round(v, 1) for k, v in phases.items()},
+            "edit_pass_s": round(edit_pass, 1),
+            "eval_psnr_db": round(float(np.mean(psnrs)), 2),
+        }
+    ),
+    flush=True,
+)
