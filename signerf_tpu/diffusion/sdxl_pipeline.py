@@ -107,17 +107,11 @@ class SDXLInpaintPipeline:
         assert _context_dim(config) == config.unet.cross_attention_dim, (
             "UNet cross_attention_dim must equal concat CLIP hidden sizes"
         )
-        if mesh is not None and config.unet.use_flash_attention:
-            # The pallas flash-attention call is opaque to GSPMD: TP
-            # head-sharded or DP batch-sharded activations would be
-            # all-gathered at the kernel boundary. Per-instance override —
-            # other (unmeshed) pipelines in the process keep flash.
-            config = dataclasses.replace(
-                config,
-                unet=dataclasses.replace(
-                    config.unet, use_flash_attention=False
-                ),
-            )
+        # Meshed flash: the pallas kernel is opaque to GSPMD, so img2img
+        # traces under a unet.flash_mesh() context — attention shard_maps
+        # over the mesh (heads on "tensor", batch on "data") and each
+        # device runs flash on its local shard. Layers whose head count
+        # doesn't divide the TP axis fall back to einsum per-layer.
         self.config = config
         self.params = params
         self.tokenizer = tokenizer
@@ -396,25 +390,39 @@ class SDXLInpaintPipeline:
             # control flow.
             run = jax.jit(self._run, static_argnums=(14, 15, 16))
             self._jit_cache[key] = run
-        out = run(
-            self.params,
-            img,
-            msk if msk is not None else jnp.ones((k_batch, h, w, 1)),
-            jnp.asarray(msk is not None),
-            ctrl,
-            context,
-            pooled,
-            add_time_ids,
-            jnp.asarray(sigmas_np),
-            jnp.asarray(guidance_scale, jnp.float32),
-            jnp.asarray(controlnet_scale, jnp.float32),
-            jnp.asarray(controlnet_start, jnp.float32),
-            jnp.asarray(controlnet_end, jnp.float32),
-            jax.random.PRNGKey(seed),
-            mask_blur,
-            inpainting_fill,
-            control_mode,
-        )
+        if self.mesh is not None:
+            from signerf_tpu.diffusion import unet as unet_mod
+
+            names = self.mesh.axis_names
+            ctx = unet_mod.flash_mesh(
+                self.mesh,
+                batch_axis="data" if "data" in names else None,
+                head_axis="tensor" if "tensor" in names else None,
+            )
+        else:
+            import contextlib
+
+            ctx = contextlib.nullcontext()
+        with ctx:
+            out = run(
+                self.params,
+                img,
+                msk if msk is not None else jnp.ones((k_batch, h, w, 1)),
+                jnp.asarray(msk is not None),
+                ctrl,
+                context,
+                pooled,
+                add_time_ids,
+                jnp.asarray(sigmas_np),
+                jnp.asarray(guidance_scale, jnp.float32),
+                jnp.asarray(controlnet_scale, jnp.float32),
+                jnp.asarray(controlnet_start, jnp.float32),
+                jnp.asarray(controlnet_end, jnp.float32),
+                jax.random.PRNGKey(seed),
+                mask_blur,
+                inpainting_fill,
+                control_mode,
+            )
         # nan_to_num: with *random-init* weights the eps prediction is
         # unbounded and the ancestral chain can diverge; real weights keep
         # latents bounded. Sanitizing here keeps no-weights pipelines (CI,

@@ -18,6 +18,7 @@ all-reduces over ICI — no hand-written collectives in the model.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import math
 from typing import Optional, Sequence, Tuple
@@ -56,10 +57,13 @@ class UNetConfig:
     10 heads) a DP mesh with one view per chip allocates ~1.7 GB —
     under FLASH_SCORE_BYTES_THRESHOLD and fine next to ~5 GB of bf16
     weights on a 16 GB v5e. 2048px sheets (128^2 = 16384 tokens) would
-    need ~5.4 GB/layer and OOM; they require either the flash kernel via
-    a shard_map-wrapped UNet (kernel sees only the local batch) or
-    sequential CFG + TP=2 head sharding. 1536px is the supported meshed
-    maximum until the shard_map wrapper lands."""
+    need ~5.4 GB/layer with einsum and OOM; under a mesh the flash kernel
+    now runs shard_mapped (flash_mesh() context: heads shard over the
+    "tensor" axis, batch over "data"; each device sees only its local
+    slice), so meshed sheet inpaints keep the memory-ceiling escape hatch.
+    Layers whose head count doesn't divide the TP axis (SDXL has 10/20
+    heads, so TP>2 leaves the 10-head block) fall back to einsum
+    per-layer."""
 
 
 SDXL_UNET_CONFIG = UNetConfig()
@@ -151,15 +155,47 @@ def set_flash_attention(enabled: bool) -> None:
     FLASH_ATTENTION = enabled
 
 
-def _flash_self_attention(q, k, v, num_heads, head_dim, sm_scale):
+# Meshed flash attention: the pallas kernel is opaque to GSPMD, so under a
+# mesh it must be shard_mapped — each device runs flash on its LOCAL heads
+# (TP) / batch rows (DP); self-attention is per-head independent, so no
+# collectives are needed inside the kernel. Set at TRACE time via the
+# flash_mesh() context around the jitted call (sdxl_pipeline.img2img does
+# this); traces bake the mesh in, so per-pipeline jit caches stay correct.
+FLASH_MESH = None  # (Mesh, batch_axis | None, head_axis | None)
+
+# Tests only: swap the pallas kernel for an einsum with the same I/O
+# contract so the shard_map wrapper can be validated on a CPU mesh (the
+# TPU kernel has no interpret mode; its numerics are TPU-bench-verified).
+FLASH_REFERENCE_IMPL = False
+
+
+@contextlib.contextmanager
+def flash_mesh(mesh, batch_axis=None, head_axis=None):
+    """Route flash attention through shard_map over `mesh` for any traces
+    created inside this context."""
+    global FLASH_MESH
+    prev = FLASH_MESH
+    FLASH_MESH = None if mesh is None else (mesh, batch_axis, head_axis)
+    try:
+        yield
+    finally:
+        FLASH_MESH = prev
+
+
+def _flash_self_attention(q, k, v, sm_scale):
     """q/k/v [B, S, H, D] -> [B, S, H*D] via the pallas TPU flash kernel,
     padding S to the 128-token block size with masked segment ids."""
+    b, s, num_heads, head_dim = q.shape
+    if FLASH_REFERENCE_IMPL:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * sm_scale
+        probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(q.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        return out.reshape(b, s, num_heads * head_dim)
+
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         SegmentIds,
         flash_attention,
     )
-
-    b, s, _, _ = q.shape
     pad = (-s) % 128
     qh = jnp.swapaxes(q, 1, 2)  # [B, H, S, D]
     kh = jnp.swapaxes(k, 1, 2)
@@ -177,6 +213,31 @@ def _flash_self_attention(q, k, v, num_heads, head_dim, sm_scale):
     out = flash_attention(qh, kh, vh, segment_ids=seg, sm_scale=sm_scale)
     out = jnp.swapaxes(out, 1, 2)[:, :s]  # [B, S, H, D]
     return out.reshape(b, s, num_heads * head_dim)
+
+
+def _meshed_flash_self_attention(q, k, v, sm_scale, num_heads):
+    """shard_map the flash kernel over FLASH_MESH: heads shard over the TP
+    axis, batch over the DP axis; each device runs flash on its local
+    shard. Returns None when the shapes don't divide (caller falls back to
+    einsum for that layer)."""
+    mesh, batch_axis, head_axis = FLASH_MESH
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    b = q.shape[0]
+    dp = mesh.shape[batch_axis] if batch_axis else 1
+    tp = mesh.shape[head_axis] if head_axis else 1
+    if num_heads % max(tp, 1) or b % max(dp, 1):
+        return None
+    spec = P(batch_axis, None, head_axis, None)
+    fn = shard_map(
+        lambda qq, kk, vv: _flash_self_attention(qq, kk, vv, sm_scale),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=P(batch_axis, None, head_axis),
+        check_rep=False,
+    )
+    return fn(q, k, v)
 
 
 class CrossAttention(nn.Module):
@@ -200,17 +261,23 @@ class CrossAttention(nn.Module):
         v = v.reshape(b, sk, self.num_heads, self.head_dim)
         scale = 1.0 / math.sqrt(self.head_dim)
         score_bytes = 2 * b * self.num_heads * sq * sk
+        out = None
         if (
             self_attn
             and self.use_flash
             and FLASH_ATTENTION
             and score_bytes >= FLASH_SCORE_BYTES_THRESHOLD
-            and jax.default_backend() != "cpu"
+            and (jax.default_backend() != "cpu" or FLASH_REFERENCE_IMPL)
         ):
-            out = _flash_self_attention(
-                q, k, v, self.num_heads, self.head_dim, scale
-            )
-        else:
+            if FLASH_MESH is not None:
+                # meshed: shard_map over heads/batch; None => indivisible,
+                # fall through to einsum for this layer
+                out = _meshed_flash_self_attention(
+                    q, k, v, scale, self.num_heads
+                )
+            else:
+                out = _flash_self_attention(q, k, v, scale)
+        if out is None:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
             probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(self.dtype)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, sq, inner)

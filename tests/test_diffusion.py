@@ -514,3 +514,67 @@ class TestGroupNormBF16:
         m = GroupNormBF16(num_groups=2)
         p = m.init(jax.random.PRNGKey(0), x)
         assert m.apply(p, x).dtype == jnp.bfloat16
+
+
+@pytest.mark.slow
+class TestMeshedFlashAttention:
+    """shard_map-wrapped flash attention (the 2048px-sheet memory-ceiling
+    path under a mesh). The pallas kernel has no CPU interpret mode, so
+    FLASH_REFERENCE_IMPL swaps in an einsum with the identical I/O
+    contract — the test validates the shard_map specs, head/batch
+    partitioning, gating and fallback, which is everything that differs
+    from the (TPU-bench-verified) unmeshed kernel path."""
+
+    def _attn_io(self, heads, batch, seq=32):
+        from signerf_tpu.diffusion.unet import CrossAttention
+
+        attn = CrossAttention(num_heads=heads, head_dim=8, dtype=jnp.float32)
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.normal(jax.random.PRNGKey(1), (batch, seq, heads * 8))
+        params = attn.init(rng, x)
+        return attn, params, x
+
+    def test_meshed_flash_matches_einsum(self, monkeypatch):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from signerf_tpu.diffusion import unet as unet_mod
+        from signerf_tpu.parallel import get_mesh
+
+        attn, params, x = self._attn_io(heads=4, batch=2)
+        ref = attn.apply(params, x)  # einsum path (flash gated off on CPU)
+
+        monkeypatch.setattr(unet_mod, "FLASH_REFERENCE_IMPL", True)
+        monkeypatch.setattr(unet_mod, "FLASH_SCORE_BYTES_THRESHOLD", 1)
+        mesh = get_mesh(8, axis_names=("data", "tensor"), shape=(2, 4))
+        with unet_mod.flash_mesh(mesh, batch_axis="data", head_axis="tensor"):
+            out = attn.apply(params, x)
+            out_jit = jax.jit(attn.apply)(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(out_jit), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_indivisible_heads_fall_back(self, monkeypatch):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from signerf_tpu.diffusion import unet as unet_mod
+        from signerf_tpu.parallel import get_mesh
+
+        attn, params, x = self._attn_io(heads=3, batch=2)
+        ref = attn.apply(params, x)
+        monkeypatch.setattr(unet_mod, "FLASH_REFERENCE_IMPL", True)
+        monkeypatch.setattr(unet_mod, "FLASH_SCORE_BYTES_THRESHOLD", 1)
+        mesh = get_mesh(8, axis_names=("data", "tensor"), shape=(2, 4))
+        with unet_mod.flash_mesh(mesh, batch_axis="data", head_axis="tensor"):
+            out = attn.apply(params, x)  # 3 % 4 != 0 -> einsum fallback
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_meshed_pipeline_keeps_flash_enabled(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from signerf_tpu.parallel import get_mesh
+
+        mesh = get_mesh(8, axis_names=("tensor",))
+        pipe = SDXLInpaintPipeline.create(config=TINY_SDXL_CONFIG, mesh=mesh)
+        assert pipe.config.unet.use_flash_attention
