@@ -261,6 +261,96 @@ int decode_png(const char* path, uint8_t* out, int max_w, int max_h,
   return 0;
 }
 
+// Encode an 8-bit gray (channels=1) or RGB (channels=3) buffer as a PNG
+// file. Per-row filter chosen by the standard minimum-sum-of-absolute-
+// differences heuristic over None/Sub/Up; IDAT deflated at
+// `compress_level` (1 = fast, the writer-pool default — these are
+// observability artifacts, not archives). Returns 0 on success.
+// Called from Python writer threads via ctypes (GIL released), so N saves
+// encode concurrently without process pools.
+int encode_png(const char* path, const uint8_t* pix, int w, int h,
+               int channels, int compress_level) {
+  if (w <= 0 || h <= 0 || (channels != 1 && channels != 3)) return -30;
+  size_t stride = static_cast<size_t>(w) * channels;
+
+  // Filter scanlines.
+  std::vector<uint8_t> raw(static_cast<size_t>(h) * (stride + 1));
+  std::vector<uint8_t> cand(stride);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = pix + y * stride;
+    const uint8_t* up = y > 0 ? pix + (y - 1) * stride : nullptr;
+    long best_cost = -1;
+    int best_filter = 0;
+    uint8_t* dst = &raw[y * (stride + 1)];
+    for (int filter = 0; filter <= 2; ++filter) {
+      long cost = 0;
+      for (size_t x = 0; x < stride; ++x) {
+        int a = (filter == 1 && x >= static_cast<size_t>(channels))
+                    ? row[x - channels] : 0;
+        int b = (filter == 2 && up) ? up[x] : 0;
+        uint8_t v = static_cast<uint8_t>(row[x] - a - b);
+        cand[x] = v;
+        // minimize sum of |signed byte| (PNG spec heuristic)
+        cost += v < 128 ? v : 256 - v;
+      }
+      if (best_cost < 0 || cost < best_cost) {
+        best_cost = cost;
+        best_filter = filter;
+        dst[0] = static_cast<uint8_t>(filter);
+        std::memcpy(dst + 1, cand.data(), stride);
+      }
+    }
+  }
+
+  // Deflate.
+  z_stream zs;
+  std::memset(&zs, 0, sizeof(zs));
+  if (deflateInit(&zs, compress_level) != Z_OK) return -31;
+  std::vector<uint8_t> idat(deflateBound(&zs, raw.size()));
+  zs.next_in = raw.data();
+  zs.avail_in = static_cast<uInt>(raw.size());
+  zs.next_out = idat.data();
+  zs.avail_out = static_cast<uInt>(idat.size());
+  int ret = deflate(&zs, Z_FINISH);
+  deflateEnd(&zs);
+  if (ret != Z_STREAM_END) return -32;
+  idat.resize(idat.size() - zs.avail_out);
+
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return -33;
+  auto write_chunk = [&](const char type[4], const uint8_t* data,
+                         uint32_t len) {
+    uint8_t hdr[8] = {
+        static_cast<uint8_t>(len >> 24), static_cast<uint8_t>(len >> 16),
+        static_cast<uint8_t>(len >> 8),  static_cast<uint8_t>(len),
+        static_cast<uint8_t>(type[0]),   static_cast<uint8_t>(type[1]),
+        static_cast<uint8_t>(type[2]),   static_cast<uint8_t>(type[3])};
+    std::fwrite(hdr, 1, 8, f);
+    if (len) std::fwrite(data, 1, len, f);
+    uint32_t crc = crc32(0, hdr + 4, 4);
+    if (len) crc = crc32(crc, data, len);
+    uint8_t tail[4] = {
+        static_cast<uint8_t>(crc >> 24), static_cast<uint8_t>(crc >> 16),
+        static_cast<uint8_t>(crc >> 8), static_cast<uint8_t>(crc)};
+    std::fwrite(tail, 1, 4, f);
+  };
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  std::fwrite(sig, 1, 8, f);
+  uint8_t ihdr[13] = {
+      static_cast<uint8_t>(w >> 24), static_cast<uint8_t>(w >> 16),
+      static_cast<uint8_t>(w >> 8),  static_cast<uint8_t>(w),
+      static_cast<uint8_t>(h >> 24), static_cast<uint8_t>(h >> 16),
+      static_cast<uint8_t>(h >> 8),  static_cast<uint8_t>(h),
+      8,  // bit depth
+      static_cast<uint8_t>(channels == 1 ? 0 : 2),  // color type
+      0, 0, 0};  // compression, filter, interlace
+  write_chunk("IHDR", ihdr, 13);
+  write_chunk("IDAT", idat.data(), static_cast<uint32_t>(idat.size()));
+  write_chunk("IEND", nullptr, 0);
+  int close_err = std::fclose(f);
+  return close_err == 0 ? 0 : -34;
+}
+
 // Probe image dimensions without a full decode (IHDR only).
 int png_dims(const char* path, int* w, int* h) {
   FILE* f = std::fopen(path, "rb");

@@ -2,8 +2,9 @@
 
 from signerf_tpu.native.loader import (
     decode_png_batch,
+    encode_png,
     native_available,
     png_dims,
 )
 
-__all__ = ["decode_png_batch", "native_available", "png_dims"]
+__all__ = ["decode_png_batch", "encode_png", "native_available", "png_dims"]

@@ -59,6 +59,15 @@ def _get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int),
             ]
+            lib.encode_png.restype = ctypes.c_int
+            lib.encode_png.argtypes = [
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+                ctypes.c_int,
+            ]
             _lib = lib
         except Exception as exc:  # toolchain missing / build error
             print(f"[native] image codec unavailable ({exc}); using PIL")
@@ -112,3 +121,37 @@ def decode_png_batch(
     if failures:
         return None
     return out
+
+
+def encode_png(
+    array: np.ndarray, path: str | Path, compress_level: int = 1
+) -> bool:
+    """Write a uint8 [H, W] / [H, W, 1] (gray) or [H, W, 3] (RGB) array as
+    a PNG. Returns False if the native library is unavailable or encoding
+    fails (caller falls back to PIL). ctypes releases the GIL for the
+    duration, so writer-pool threads encode concurrently."""
+    lib = _get_lib()
+    if lib is None:
+        return False
+    a = np.asarray(array)
+    if a.dtype != np.uint8:  # caller owns the [0,1]->255 conversion
+        return False
+    if a.ndim == 3 and a.shape[-1] == 1:
+        a = a[..., 0]
+    if a.ndim == 2:
+        channels = 1
+    elif a.ndim == 3 and a.shape[-1] == 3:
+        channels = 3
+    else:
+        return False
+    a = np.ascontiguousarray(a)
+    h, w = a.shape[:2]
+    rc = lib.encode_png(
+        str(path).encode(),
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(w),
+        int(h),
+        channels,
+        int(compress_level),
+    )
+    return rc == 0

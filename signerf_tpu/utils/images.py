@@ -22,15 +22,10 @@ def array_to_image(arr) -> "PIL.Image.Image":
     tensor_to_image)."""
     from PIL import Image
 
-    a = np.asarray(arr)
-    if a.dtype == bool:
-        a = a.astype(np.float32)
     # NaN/inf guard: background rays have inf depth, and random-weight
     # diffusion runs can emit NaN pixels — map to black instead of letting
     # the uint8 cast produce undefined values.
-    a = np.nan_to_num(a, nan=0.0, posinf=1.0, neginf=0.0)
-    a = np.clip(a, 0.0, 1.0)
-    a = (a * 255.0).astype(np.uint8)
+    a = _to_uint8(arr)
     if a.ndim == 3 and a.shape[-1] == 1:
         return Image.fromarray(a[..., 0], mode="L")
     if a.ndim == 2:
@@ -62,5 +57,32 @@ def base64_to_image(data: str):
     return Image.open(io.BytesIO(raw))
 
 
+def _to_uint8(arr) -> np.ndarray:
+    """float/bool [H, W, C] in [0,1] -> uint8, with the same NaN/inf guard
+    and rounding as array_to_image."""
+    a = np.asarray(arr)
+    if a.dtype == bool:
+        a = a.astype(np.float32)
+    a = np.nan_to_num(a, nan=0.0, posinf=1.0, neginf=0.0)
+    a = np.clip(a, 0.0, 1.0)
+    return (a * 255.0).astype(np.uint8)
+
+
 def save_array_png(arr, path) -> None:
-    array_to_image(arr).save(path)
+    """Write a float [H, W, 1|3] array in [0,1] as a PNG. Prefers the
+    native C++ encoder (native/image_codec.cpp::encode_png — GIL-free, so
+    the generator's writer-pool threads encode concurrently); falls back
+    to PIL when the toolchain/library is unavailable."""
+    a = _to_uint8(arr)
+    from signerf_tpu.native.loader import encode_png
+
+    if encode_png(a, path):
+        return
+    from PIL import Image
+
+    if a.ndim == 3 and a.shape[-1] == 1:
+        Image.fromarray(a[..., 0], mode="L").save(path)
+    elif a.ndim == 2:
+        Image.fromarray(a, mode="L").save(path)
+    else:
+        Image.fromarray(a, mode="RGB").save(path)

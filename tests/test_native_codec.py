@@ -76,3 +76,50 @@ class TestNativeCodec:
         out = load_images(paths, 24, 16)
         assert out.shape == (len(paths), 16, 24, 3)
         assert out.dtype == np.uint8
+
+
+class TestEncode:
+    def test_encode_roundtrip_exact(self, tmp_path):
+        from PIL import Image
+
+        from signerf_tpu.native import encode_png
+
+        rng = np.random.RandomState(7)
+        rgb = (rng.rand(33, 47, 3) * 255).astype(np.uint8)
+        p = tmp_path / "rgb.png"
+        assert encode_png(rgb, p)
+        np.testing.assert_array_equal(np.asarray(Image.open(p)), rgb)
+        # our own decoder reads it back exactly too
+        out = decode_png_batch([p], 47, 33)
+        np.testing.assert_array_equal(out[0], rgb)
+
+    def test_encode_gray_and_singleton_channel(self, tmp_path):
+        from PIL import Image
+
+        from signerf_tpu.native import encode_png
+
+        g = (np.linspace(0, 255, 24 * 16).reshape(24, 16)).astype(np.uint8)
+        p = tmp_path / "g.png"
+        assert encode_png(g[..., None], p)
+        np.testing.assert_array_equal(np.asarray(Image.open(p)), g)
+
+    def test_encode_rejects_non_uint8(self, tmp_path):
+        from signerf_tpu.native import encode_png
+
+        assert not encode_png(np.zeros((4, 4, 3), np.float32), tmp_path / "f.png")
+
+    def test_save_array_png_uses_same_conversion(self, tmp_path):
+        """save_array_png output (native path) matches array_to_image's
+        uint8 conversion bit-for-bit, including the NaN/inf guard."""
+        from PIL import Image
+
+        from signerf_tpu.utils.images import array_to_image, save_array_png
+
+        arr = np.random.RandomState(1).rand(20, 30, 3).astype(np.float32)
+        arr[0, 0] = np.nan
+        arr[1, 1] = np.inf
+        p = tmp_path / "s.png"
+        save_array_png(arr, p)
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(p)), np.asarray(array_to_image(arr))
+        )
