@@ -9,16 +9,24 @@ chunked `make_eval_render` path (one jitted program, rays padded to chunk
 multiples), so the export reuses the exact renderer the viewer and eval
 use.
 
+Subcommands:
+  pointcloud           back-projected colored point cloud -> .ply
+  mesh                 density iso-surface via marching tetrahedra -> .obj
+                       (watertight; reusable as a shape-mode proxy via
+                       `renderer.object_path`)
+
 Flags:
-  pointcloud           subcommand (the only one; meshing needs an external
-                       reconstruction tool — run Poisson on this PLY)
   --data PATH          dataset (transforms.json)
   --load-dir PATH      checkpoint directory (latest step-*.ckpt)
   --output PATH        output .ply (default point_cloud.ply)
   --num-points N       uniform subsample target (default 1_000_000)
   --downscale K        render at 1/K resolution (default 2)
   --min-accumulation A drop rays with opacity below A (default 0.5)
-  --bbox-min/--bbox-max "(x,y,z)" keep points inside this box (optional)
+  --bbox-min/--bbox-max "(x,y,z)" keep points inside this box / sample the
+                       mesh grid over it (default: the scene box)
+  --resolution N       mesh grid resolution per axis (default 256)
+  --iso D              mesh density iso-level (default 15.0); "pNN" uses
+                       the NN-th percentile of the sampled densities
   --model.*            model config overrides (must match the checkpoint)
 """
 
@@ -90,18 +98,23 @@ def main(argv=None) -> int:
         print(__doc__)
         return 0
     sub = argv.pop(0)
-    if sub != "pointcloud":
-        print(f"unknown export subcommand {sub!r} (supported: pointcloud)")
+    if sub not in ("pointcloud", "mesh"):
+        print(
+            f"unknown export subcommand {sub!r} (supported: pointcloud, mesh)"
+        )
         return 1
     opts = cfglib.parse_cli_overrides(argv)
     data = Path(opts.pop("data"))
     load_dir = opts.pop("load-dir", opts.pop("load_dir", None))
-    out_path = Path(opts.pop("output", "point_cloud.ply"))
+    default_out = "point_cloud.ply" if sub == "pointcloud" else "mesh.obj"
+    out_path = Path(opts.pop("output", default_out))
     num_points = int(opts.pop("num-points", opts.pop("num_points", 1_000_000)))
     downscale = int(opts.pop("downscale", 2))
     min_acc = float(
         opts.pop("min-accumulation", opts.pop("min_accumulation", 0.5))
     )
+    resolution = int(opts.pop("resolution", 256))
+    iso_opt = str(opts.pop("iso", "15.0"))
     bbox_min = opts.pop("bbox-min", opts.pop("bbox_min", None))
     bbox_max = opts.pop("bbox-max", opts.pop("bbox_max", None))
 
@@ -123,6 +136,62 @@ def main(argv=None) -> int:
             return 1
         params = surgical_restore(ckpt, params)
         print(f"loaded {ckpt}")
+
+    if sub == "mesh":
+        import functools
+
+        from signerf_tpu.geometry.marching import marching_tetrahedra, save_obj
+
+        if bbox_min is not None and bbox_max is not None:
+            import ast
+
+            lo = np.asarray(ast.literal_eval(str(bbox_min)), np.float32)
+            hi = np.asarray(ast.literal_eval(str(bbox_max)), np.float32)
+        else:
+            box = np.asarray(dm.outputs.scene_box_aabb, np.float32)
+            lo, hi = box[0], box[1]
+        n = resolution
+        axes = [np.linspace(lo[a], hi[a], n + 1, dtype=np.float32) for a in range(3)]
+        grid = np.stack(
+            np.meshgrid(*axes, indexing="ij"), axis=-1
+        ).reshape(-1, 3)
+
+        @functools.partial(jax.jit)
+        def density_chunk(p):
+            d, _ = model.field.apply(
+                {"params": params["field"]}, p, method="density"
+            )
+            return d
+
+        chunk = 1 << 16
+        pad = (-grid.shape[0]) % chunk
+        gpad = np.pad(grid, ((0, pad), (0, 0)))
+        vals = np.concatenate(
+            [
+                np.asarray(density_chunk(jnp.asarray(gpad[i:i + chunk])))
+                for i in range(0, gpad.shape[0], chunk)
+            ]
+        )[: grid.shape[0]].reshape(n + 1, n + 1, n + 1)
+        spacing = (hi - lo) / n
+        # --iso pNN: percentile of the sampled densities — handy when the
+        # field's absolute scale is unknown (e.g. average_init_density
+        # rescaling, random-init smoke runs).
+        iso = (
+            float(np.percentile(vals, float(iso_opt[1:])))
+            if iso_opt.startswith("p")
+            else float(iso_opt)
+        )
+        verts, faces = marching_tetrahedra(vals, lo, spacing, iso)
+        if len(faces) == 0:
+            print(f"no surface at iso={iso} (density range "
+                  f"{vals.min():.3g}..{vals.max():.3g})")
+            return 1
+        out_path.parent.mkdir(parents=True, exist_ok=True)
+        save_obj(out_path, verts, faces)
+        print(
+            f"wrote {len(verts)} vertices / {len(faces)} faces -> {out_path}"
+        )
+        return 0
 
     render = make_eval_render(model, chunk_size=8192)
     cams = dm.cameras
