@@ -77,6 +77,83 @@ def read_ply_header(path: Path) -> int:
     return 0
 
 
+def pointcloud_from_renders(
+    render_fn,
+    cams,
+    aabb,
+    min_accumulation: float = 0.5,
+    num_points: int = 1_000_000,
+    log=print,
+):
+    """Back-project rendered depth into (points [N,3], colors uint8 [N,3]).
+
+    `render_fn(ray_bundle_flat) -> {"rgb", "depth", "accumulation"}` — the
+    chunked eval renderer with params bound (CLI and viewer both use this).
+    """
+    h, w = cams.height, cams.width
+    pts_all, rgb_all = [], []
+    for i in range(len(cams)):
+        rb = cams.generate_rays(camera_index=i, aabb=aabb)
+        flat = rb.reshape((h * w,))
+        out = render_fn(flat)
+        depth = np.asarray(out["depth"]).reshape(-1, 1)
+        acc = np.asarray(out["accumulation"]).reshape(-1)
+        rgb = np.asarray(out["rgb"]).reshape(-1, 3)
+        o = np.asarray(flat.origins).reshape(-1, 3)
+        d = np.asarray(flat.directions).reshape(-1, 3)
+        pts = o + d * depth  # depth is along-ray (geometry/raster.py note)
+        keep = (acc > min_accumulation) & np.isfinite(depth[:, 0])
+        pts_all.append(pts[keep])
+        rgb_all.append(rgb[keep])
+        log(f"camera {i}: kept {int(keep.sum())}/{h * w} rays")
+    points = np.concatenate(pts_all, 0)
+    colors = np.clip(np.concatenate(rgb_all, 0), 0.0, 1.0) * 255.0
+    if points.shape[0] > num_points:
+        idx = np.random.RandomState(0).choice(
+            points.shape[0], num_points, replace=False
+        )
+        points, colors = points[idx], colors[idx]
+    return points, colors.astype(np.uint8)
+
+
+def mesh_from_density(
+    density_fn,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    resolution: int = 256,
+    iso: "float | str" = 15.0,
+):
+    """Sample `density_fn(positions [M,3]) -> [M]` on a grid over [lo, hi]
+    and extract the iso-surface with marching tetrahedra. `iso` may be a
+    "pNN" percentile string. Returns (verts, faces)."""
+    from signerf_tpu.geometry.marching import marching_tetrahedra
+
+    n = int(resolution)
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    axes = [np.linspace(lo[a], hi[a], n + 1, dtype=np.float32) for a in range(3)]
+    grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1).reshape(-1, 3)
+    chunk = 1 << 16
+    pad = (-grid.shape[0]) % chunk
+    gpad = np.pad(grid, ((0, pad), (0, 0)))
+    vals = np.concatenate(
+        [
+            np.asarray(density_fn(gpad[i:i + chunk]))
+            for i in range(0, gpad.shape[0], chunk)
+        ]
+    )[: grid.shape[0]].reshape(n + 1, n + 1, n + 1)
+    # "pNN": percentile of the sampled densities — handy when the field's
+    # absolute scale is unknown (average_init_density rescaling, random
+    # init smoke runs).
+    iso_v = (
+        float(np.percentile(vals, float(str(iso)[1:])))
+        if str(iso).startswith("p")
+        else float(iso)
+    )
+    spacing = (hi - lo) / n
+    return marching_tetrahedra(vals, lo, spacing, iso_v)
+
+
 def main(argv=None) -> int:
     from signerf_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -138,9 +215,7 @@ def main(argv=None) -> int:
         print(f"loaded {ckpt}")
 
     if sub == "mesh":
-        import functools
-
-        from signerf_tpu.geometry.marching import marching_tetrahedra, save_obj
+        from signerf_tpu.geometry.marching import save_obj
 
         if bbox_min is not None and bbox_max is not None:
             import ast
@@ -150,41 +225,17 @@ def main(argv=None) -> int:
         else:
             box = np.asarray(dm.outputs.scene_box_aabb, np.float32)
             lo, hi = box[0], box[1]
-        n = resolution
-        axes = [np.linspace(lo[a], hi[a], n + 1, dtype=np.float32) for a in range(3)]
-        grid = np.stack(
-            np.meshgrid(*axes, indexing="ij"), axis=-1
-        ).reshape(-1, 3)
 
-        @functools.partial(jax.jit)
-        def density_chunk(p):
-            d, _ = model.field.apply(
+        density_jit = jax.jit(
+            lambda p: model.field.apply(
                 {"params": params["field"]}, p, method="density"
-            )
-            return d
-
-        chunk = 1 << 16
-        pad = (-grid.shape[0]) % chunk
-        gpad = np.pad(grid, ((0, pad), (0, 0)))
-        vals = np.concatenate(
-            [
-                np.asarray(density_chunk(jnp.asarray(gpad[i:i + chunk])))
-                for i in range(0, gpad.shape[0], chunk)
-            ]
-        )[: grid.shape[0]].reshape(n + 1, n + 1, n + 1)
-        spacing = (hi - lo) / n
-        # --iso pNN: percentile of the sampled densities — handy when the
-        # field's absolute scale is unknown (e.g. average_init_density
-        # rescaling, random-init smoke runs).
-        iso = (
-            float(np.percentile(vals, float(iso_opt[1:])))
-            if iso_opt.startswith("p")
-            else float(iso_opt)
+            )[0]
         )
-        verts, faces = marching_tetrahedra(vals, lo, spacing, iso)
+        verts, faces = mesh_from_density(
+            lambda p: density_jit(jnp.asarray(p)), lo, hi, resolution, iso_opt
+        )
         if len(faces) == 0:
-            print(f"no surface at iso={iso} (density range "
-                  f"{vals.min():.3g}..{vals.max():.3g})")
+            print(f"no surface at iso={iso_opt}")
             return 1
         out_path.parent.mkdir(parents=True, exist_ok=True)
         save_obj(out_path, verts, faces)
@@ -197,27 +248,14 @@ def main(argv=None) -> int:
     cams = dm.cameras
     if downscale > 1:
         cams = cams.rescaled(1.0 / downscale)
-    h, w = cams.height, cams.width
     aabb = jnp.asarray(dm.outputs.scene_box_aabb)
-
-    pts_all, rgb_all = [], []
-    for i in range(len(cams)):
-        rb = cams.generate_rays(camera_index=i, aabb=aabb)
-        flat = rb.reshape((h * w,))
-        out = render(params, flat, appearance_mode="index")
-        depth = np.asarray(out["depth"]).reshape(-1, 1)
-        acc = np.asarray(out["accumulation"]).reshape(-1)
-        rgb = np.asarray(out["rgb"]).reshape(-1, 3)
-        o = np.asarray(flat.origins).reshape(-1, 3)
-        d = np.asarray(flat.directions).reshape(-1, 3)
-        pts = o + d * depth  # depth is along-ray (geometry/raster.py note)
-        keep = (acc > min_acc) & np.isfinite(depth[:, 0])
-        pts_all.append(pts[keep])
-        rgb_all.append(rgb[keep])
-        print(f"camera {i}: kept {int(keep.sum())}/{h * w} rays", flush=True)
-
-    points = np.concatenate(pts_all, 0)
-    colors = np.clip(np.concatenate(rgb_all, 0), 0.0, 1.0) * 255.0
+    points, colors = pointcloud_from_renders(
+        lambda flat: render(params, flat, appearance_mode="index"),
+        cams,
+        aabb,
+        min_accumulation=min_acc,
+        num_points=num_points,
+    )
     if bbox_min is not None and bbox_max is not None:
         import ast
 
@@ -228,11 +266,6 @@ def main(argv=None) -> int:
     if points.shape[0] == 0:
         print("no points survived filtering")
         return 1
-    if points.shape[0] > num_points:
-        idx = np.random.RandomState(0).choice(
-            points.shape[0], num_points, replace=False
-        )
-        points, colors = points[idx], colors[idx]
 
     out_path.parent.mkdir(parents=True, exist_ok=True)
     write_ply(out_path, points, colors)

@@ -98,9 +98,18 @@ input,select{margin:0.2rem;background:#222;color:#eee;border:1px solid #444}
   <button onclick="post('/generate',{})">Generate Dataset &amp; Train</button>
   <div id="preview" class="row"></div>
  </div>
+ <div class="card"><h3>Export</h3>
+  <button onclick="doExport('pointcloud')">Point cloud (.ply)</button>
+  <button onclick="doExport('mesh')">Mesh (.obj)</button>
+  <pre id="exp"></pre>
+ </div>
 </div>
 <script>
 async function post(u, body){await fetch(u,{method:'POST',body:JSON.stringify(body)});}
+async function doExport(kind){
+  document.getElementById('exp').textContent='exporting…';
+  const r = await fetch('/export',{method:'POST',body:JSON.stringify({kind})});
+  document.getElementById('exp').textContent=JSON.stringify(await r.json());}
 function setParams(){post('/params',{prompt:prompt.value,num_inference_steps:+steps.value,
   seed:+seed.value,guidance_scale:+cfg.value,controlnet_conditioning_scale:+cn.value});}
 async function preview(){
@@ -200,6 +209,64 @@ class ViewerServer:
                 rgb, cam, self.interface.scene_elements(), show
             )
         return rgb
+
+    def export_asset(self, kind: str, path, **kw):
+        """Export tab parity (stock viewer export tab, reference
+        viewer.py:192-211): write a point cloud or mesh of the CURRENT
+        model state, reusing signerf_tpu.export's core. Viewer defaults
+        are sized for interactivity; the export CLI is the heavy path."""
+        import jax
+        import jax.numpy as jnp
+
+        from signerf_tpu.export import (
+            mesh_from_density,
+            pointcloud_from_renders,
+            write_ply,
+        )
+
+        trainer = self.interface.trainer
+        pipeline = trainer.pipeline
+        params = (
+            trainer.state.params if trainer.state is not None else pipeline.params
+        )
+        if kind == "mesh":
+            from signerf_tpu.geometry.marching import save_obj
+
+            box = np.asarray(
+                pipeline.datamanager.outputs.scene_box_aabb, np.float32
+            )
+            density_jit = jax.jit(
+                lambda p: pipeline.model.field.apply(
+                    {"params": params["field"]}, p, method="density"
+                )[0]
+            )
+            verts, faces = mesh_from_density(
+                lambda p: density_jit(jnp.asarray(p)),
+                box[0],
+                box[1],
+                int(kw.get("resolution", 96)),
+                kw.get("iso", 15.0),
+            )
+            save_obj(path, verts, faces)
+            return {"vertices": int(len(verts)), "faces": int(len(faces)),
+                    "path": str(path)}
+        cams = pipeline.datamanager.cameras
+        ds = int(kw.get("downscale", 4))
+        if ds > 1:
+            cams = cams.rescaled(1.0 / ds)
+        aabb = jnp.asarray(pipeline.datamanager.outputs.scene_box_aabb)
+        pts, cols = pointcloud_from_renders(
+            lambda flat: pipeline._render(
+                params, flat, appearance_mode="index"
+            ),
+            cams,
+            aabb,
+            min_accumulation=float(kw.get("min_accumulation", 0.5)),
+            num_points=int(kw.get("num_points", 1_000_000)),
+            log=lambda *_: None,
+        )
+        write_ply(path, pts, cols)
+        return {"points": int(len(pts)), "path": str(path)}
 
     def _png(self, arr: np.ndarray) -> bytes:
         from signerf_tpu.utils.images import array_to_image
@@ -341,6 +408,28 @@ class ViewerServer:
                             rotate_deg=tuple(body.get("rotate_deg", (0, 0, 0))),
                         )
                         self._json({"ok": True})
+                    except (KeyError, ValueError) as exc:
+                        self._json({"error": str(exc)}, 400)
+                elif url.path == "/export":
+                    try:
+                        kind = body.pop("kind", "pointcloud")
+                        if kind not in ("pointcloud", "mesh"):
+                            raise ValueError(f"unknown export kind {kind!r}")
+                        from pathlib import Path as _P
+
+                        out_dir = _P(
+                            getattr(
+                                server.interface.trainer.config,
+                                "output_dir",
+                                "outputs",
+                            )
+                        ) / "exports"
+                        out_dir.mkdir(parents=True, exist_ok=True)
+                        default = (
+                            "point_cloud.ply" if kind == "pointcloud" else "mesh.obj"
+                        )
+                        path = _P(body.pop("path", out_dir / default))
+                        self._json(server.export_asset(kind, path, **body))
                     except (KeyError, ValueError) as exc:
                         self._json({"error": str(exc)}, 400)
                 elif url.path == "/drag":

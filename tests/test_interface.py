@@ -141,6 +141,32 @@ class TestViewerServer:
         png = base64.b64decode(sheets["edited"])
         assert png[:4] == b"\x89PNG"
 
+    def test_export_endpoints(self, server, tmp_path):
+        base, _ = server
+        pc = tmp_path / "pc.ply"
+        status, body = self._post(
+            base + "/export",
+            json.dumps(
+                {"kind": "pointcloud", "path": str(pc), "downscale": 2,
+                 "min_accumulation": 0.0, "num_points": 200}
+            ).encode(),
+        )
+        assert status == 200
+        out = json.loads(body)
+        assert out["points"] > 0 and pc.exists()
+
+        mesh = tmp_path / "m.obj"
+        status, body = self._post(
+            base + "/export",
+            json.dumps(
+                {"kind": "mesh", "path": str(mesh), "resolution": 16,
+                 "iso": "p50"}
+            ).encode(),
+        )
+        assert status == 200
+        out = json.loads(body)
+        assert out["faces"] > 0 and mesh.exists()
+
 
 class TestOverlay:
     """Wireframe overlay math (viewer 3D scene parity: frustums, AABB box,
