@@ -25,6 +25,10 @@ environment, so the viewer here is a self-contained stdlib HTTP server
                     screen-space drag of the AABB / proxy / reference circle
                     (the reference's transform-gizmo interaction,
                     interface.py:310-443, 543-616)
+  POST /export      {"kind": "pointcloud"|"mesh", path?, downscale?,
+                    resolution?, iso?, ...} write a PLY point cloud or OBJ
+                    mesh of the current model (stock viewer Export tab,
+                    viewer.py:192-211; heavy exports: the export CLI)
 
 Render-vs-train throttling: renders run between train dispatches on the
 same device; the page polls at ~1 Hz and requests modest resolutions, which
