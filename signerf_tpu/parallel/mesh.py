@@ -34,6 +34,19 @@ def get_mesh(
     return Mesh(dev_array, tuple(axis_names))
 
 
+def production_mesh(num_devices: Optional[int] = None, tensor: int = 2) -> Mesh:
+    """The documented v5e-8 edit-pass layout: ("data", "tensor") with
+    tensor=2. SDXL attention has 10/20 heads per block — divisible by 2,
+    not by 4/8 — so TP=2 is the widest head sharding that covers every
+    layer; the remaining devices form the data axis (per-view diffusion DP
+    + per-ray training DP). See README "Multi-chip" and
+    diffusion/sdxl_pipeline.tensor_parallel_pspecs."""
+    n = num_devices if num_devices is not None else len(jax.devices())
+    if n % tensor:
+        raise ValueError(f"{n} devices not divisible by tensor={tensor}")
+    return get_mesh(n, axis_names=("data", "tensor"), shape=(n // tensor, tensor))
+
+
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree across the mesh."""
     sharding = NamedSharding(mesh, P())

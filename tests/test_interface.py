@@ -395,3 +395,18 @@ class TestViewerSceneEndpoints:
             assert False, "should 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+
+class TestProductionMesh:
+    def test_v5e8_layout(self):
+        import jax
+        import pytest as _pytest
+
+        from signerf_tpu.parallel import production_mesh
+
+        if len(jax.devices()) < 8:
+            _pytest.skip("needs 8 virtual devices")
+        m = production_mesh(8)
+        assert dict(m.shape) == {"data": 4, "tensor": 2}
+        with _pytest.raises(ValueError):
+            production_mesh(7)
