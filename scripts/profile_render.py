@@ -121,6 +121,79 @@ def main():
     t_mlp = scan_time(mlp_step)
     print(f"5-layer 64-wide MLP [{N}]: {t_mlp*1e3:.2f} ms")
 
+    # ---- sampling machinery (the non-MXU remainder) -------------------
+    from signerf_tpu.models.samplers import (
+        bins_to_ray_samples,
+        make_spacing,
+        proposal_sample,
+        render_weights,
+        sample_pdf_bins,
+        sample_uniform_bins,
+    )
+    from signerf_tpu.cameras.cameras import RayBundle as RB
+
+    nears = jnp.full((chunk, 1), 0.05)
+    fars = jnp.full((chunk, 1), 1000.0)
+    bundle0 = RayBundle(
+        origins=jnp.zeros((chunk, 3)),
+        directions=dirs,
+        pixel_area=jnp.full((chunk, 1), 1e-6),
+        camera_indices=jnp.zeros((chunk, 1), jnp.int32),
+        nears=nears,
+        fars=fars,
+    )
+    key = jax.random.PRNGKey(9)
+
+    def sampling_only_step(c):
+        # full proposal_sample with FREE density fns: isolates uniform bins
+        # + 2 PDF resamples + 3 bins_to_ray_samples + weights machinery
+        fns = [lambda p: jnp.sum(p, -1) * 0 + 0.1 + c * 1e-9] * 2
+        s, wl, sl = proposal_sample(
+            key, bundle0, fns,
+            num_proposal_samples=cfg.num_proposal_samples_per_ray,
+            num_nerf_samples=cfg.num_nerf_samples_per_ray,
+        )
+        return jnp.sum(s.positions) * 1e-12
+
+    t_sampling = scan_time(sampling_only_step)
+    print(
+        f"sampling machinery (prop chain, free densities): "
+        f"{t_sampling*1e3:.2f} ms ({t_sampling/t*100:.0f}% of chunk)"
+    )
+
+    s_to_t, _ = make_spacing(nears, fars)
+    for (S_from, Q_to) in [
+        (cfg.num_proposal_samples_per_ray[0], cfg.num_proposal_samples_per_ray[1]),
+        (cfg.num_proposal_samples_per_ray[1], cfg.num_nerf_samples_per_ray),
+    ]:
+        bins0 = sample_uniform_bins(key, chunk, S_from)
+        w0_ = jax.random.uniform(jax.random.PRNGKey(10), (chunk, S_from))
+
+        def pdf_step(c, _b=bins0, _w=w0_, _q=Q_to):
+            nb = sample_pdf_bins(key, _b, _w + c * 1e-9, _q)
+            return jnp.sum(nb) * 1e-9
+
+        t_pdf = scan_time(pdf_step)
+        print(f"pdf resample [{chunk}x{S_from}->{Q_to}]: {t_pdf*1e3:.2f} ms")
+
+    def b2s_step(c):
+        bins0 = sample_uniform_bins(key, chunk, cfg.num_proposal_samples_per_ray[0])
+        s = bins_to_ray_samples(bundle0, bins0 + c * 1e-12, s_to_t)
+        return jnp.sum(s.positions) * 1e-12
+
+    t_b2s = scan_time(b2s_step)
+    print(f"bins_to_ray_samples+positions [{chunk}x{cfg.num_proposal_samples_per_ray[0]}]: {t_b2s*1e3:.2f} ms")
+
+    from signerf_tpu.ops.contraction import contract
+
+    pos_c0 = jax.random.normal(jax.random.PRNGKey(11), (chunk * cfg.num_proposal_samples_per_ray[0], 3))
+
+    def contract_step(c):
+        return jnp.sum(contract(pos_c0 + c * 1e-9)) * 1e-9
+
+    t_con = scan_time(contract_step)
+    print(f"contraction [{chunk*cfg.num_proposal_samples_per_ray[0]}]: {t_con*1e3:.2f} ms")
+
 
 if __name__ == "__main__":
     main()

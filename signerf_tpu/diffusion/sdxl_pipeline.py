@@ -158,16 +158,14 @@ class SDXLInpaintPipeline:
 
                 params = serialization.msgpack_restore(blob.read_bytes())
         if params is None:
-            import warnings
+            from signerf_tpu.utils.calibration import warn_uncalibrated
 
-            msg = (
-                "SDXL pipeline running with RANDOM-INIT weights "
-                f"(weights_path={weights_path!r}): edited images will be "
+            warn_uncalibrated(
+                "SDXL",
+                f"(weights_path={weights_path!r}) edited images will be "
                 "noise, not edits. Export real checkpoints with "
-                "scripts/convert_sdxl_weights.py and pass weights_path."
+                "scripts/convert_sdxl_weights.py and pass weights_path.",
             )
-            warnings.warn(msg, stacklevel=2)
-            print(f"[signerf-tpu] WARNING: {msg}")
             params = cls._random_init(config, seed)
         if param_dtype is not None:
             params = jax.tree_util.tree_map(

@@ -29,6 +29,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -127,10 +128,17 @@ def make_train_step(
         # for 16,384 global rays, signerf_config.py:27). Micro-batching
         # shrinks by the same factor — per-device transients already
         # dropped by n_dev, keeping each micro-step at the same ray count.
-        n_dev = int(mesh.shape["data"])
+        #
+        # NeRF training has no tensor parallelism, so DP spans EVERY mesh
+        # axis: on the production ("data", "tensor") edit-pass mesh
+        # (parallel/mesh.py:production_mesh) all data*tensor devices train
+        # independent ray sub-batches — the "tensor" axis only means
+        # something to the SDXL phase.
+        mesh_axes = tuple(mesh.axis_names)
+        n_dev = int(np.prod([mesh.shape[a] for a in mesh_axes]))
         assert settings.num_rays % n_dev == 0, (
             f"global num_rays={settings.num_rays} must be divisible by "
-            f"mesh data size {n_dev}"
+            f"mesh device count {n_dev} (axes {mesh.shape})"
         )
         settings = dataclasses.replace(
             settings,
@@ -232,22 +240,22 @@ def make_train_step(
                         lambda g: g * gate, grads[key_name]
                     )
         if mesh is not None:
-            grads = jax.lax.pmean(grads, "data")
-            total = jax.lax.pmean(total, "data")
-            ld = jax.lax.pmean(ld, "data")
+            grads = jax.lax.pmean(grads, mesh_axes)
+            total = jax.lax.pmean(total, mesh_axes)
+            ld = jax.lax.pmean(ld, mesh_axes)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics = dict(ld)
         metrics["total_loss"] = total
         if mesh is not None:
-            mse = jax.lax.pmean(mse, "data")
+            mse = jax.lax.pmean(mse, mesh_axes)
         metrics["psnr"] = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
         return params, opt_state, metrics
 
     def multi_step(state: TrainState, images_u8, mask_indices, key):
         if mesh is not None:
-            # Decorrelate per-device sampling.
-            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            # Decorrelate per-device sampling (linear index over ALL axes).
+            key = jax.random.fold_in(key, jax.lax.axis_index(mesh_axes))
 
         def body(carry, i):
             params, opt_state, step = carry
@@ -292,10 +300,14 @@ def make_eval_render(
     Returns ``render(params, ray_bundle_flat) -> outputs`` where the flat
     bundle is padded to a chunk multiple and processed by `lax.map` over
     chunks (static shapes, single compile). With ``mesh``, rays shard over
-    the "data" axis (params replicated) — full-frame renders in the
-    generation loop scale ~linearly over ICI.
+    ALL mesh axes (params replicated) — rendering, like training, is pure
+    DP, so the production ("data", "tensor") mesh renders full frames over
+    every device, ~linearly over ICI.
     """
-    n_shards = mesh.shape["data"] if mesh is not None else 1
+    mesh_axes = tuple(mesh.axis_names) if mesh is not None else ()
+    n_shards = (
+        int(np.prod([mesh.shape[a] for a in mesh_axes])) if mesh is not None else 1
+    )
 
     @functools.partial(
         jax.jit, static_argnames=("num_rays", "appearance_mode")
@@ -327,9 +339,9 @@ def make_eval_render(
             mesh=mesh,
             in_specs=(
                 P(),
-                jax.tree_util.tree_map(lambda _: P("data"), chunked),
+                jax.tree_util.tree_map(lambda _: P(mesh_axes), chunked),
             ),
-            out_specs=P("data"),
+            out_specs=P(mesh_axes),
             check_vma=False,
         )(params, chunked)
 

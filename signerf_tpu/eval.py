@@ -39,6 +39,11 @@ def main(argv=None) -> int:
     load_dir = opts.pop("load-dir", opts.pop("load_dir", None))
     out_path = Path(opts.pop("output", "eval.json"))
     use_lpips = str(opts.pop("lpips", "false")).lower() in ("1", "true", "yes")
+    from signerf_tpu.parallel import mesh_from_spec
+
+    mesh = mesh_from_spec(opts.pop("mesh", "auto"))
+    if mesh is not None:
+        print(f"[eval] device mesh: {dict(mesh.shape)} (rays DP over all axes)")
 
     dm = SIGNeRFDataManager(
         SIGNeRFDataManagerConfig(dataparser=SIGNeRFDataParserConfig(data=data))
@@ -64,9 +69,18 @@ def main(argv=None) -> int:
         from signerf_tpu.ops.lpips import init_lpips, load_weights, lpips as lpips_fn
 
         lp = opts.pop("lpips-weights", None)
-        lpips_params = (
-            load_weights(lp) if lp else init_lpips(jax.random.PRNGKey(0))
-        )
+        if lp:
+            lpips_params = load_weights(lp)
+        else:
+            from signerf_tpu.utils.calibration import warn_uncalibrated
+
+            warn_uncalibrated(
+                "LPIPS",
+                "the reported 'lpips' column is a random-feature distance, "
+                "NOT calibrated LPIPS — pass --lpips-weights PATH.npz "
+                "(scripts/export_lpips_weights.py) for real numbers.",
+            )
+            lpips_params = init_lpips(jax.random.PRNGKey(0))
 
     render = make_eval_render(model, chunk_size=8192)
     cams = dm.cameras

@@ -11,6 +11,9 @@ environment, so the viewer here is a self-contained stdlib HTTP server
                     training stats, generation controls, preview modal,
                     3D overlays (frustums / AABB / proxy) with drag + nudge
   GET  /state       training_state / step / metrics JSON
+  GET  /events      Server-Sent Events stream of the same state JSON,
+                    pushed on every step/state change (+ heartbeat) — the
+                    page re-renders on push instead of fixed-rate polling
   GET  /render      render the current NeRF from an orbit camera (PNG);
                     overlay flags: ?train=1&reference=1&aabb=1&shape=1...
   GET  /scene       scene elements JSON (poses, aabb, proxy stats)
@@ -30,10 +33,12 @@ environment, so the viewer here is a self-contained stdlib HTTP server
                     mesh of the current model (stock viewer Export tab,
                     viewer.py:192-211; heavy exports: the export CLI)
 
-Render-vs-train throttling: renders run between train dispatches on the
-same device; the page polls at ~1 Hz and requests modest resolutions, which
-plays the role of the reference's rays-per-sec throttling loop
-(viewer.py:469-507).
+Render-vs-train throttling (parity: the reference viewer's update_scene
+rays/s state machine, /root/reference/signerf/interface/viewer.py:469-507):
+while training, the viewer render resolution is derived from the MEASURED
+train rays/s EMA in GLOBAL_BUFFER — the render is budgeted to a fixed
+fraction of device throughput — and each render's own rays/s is published
+back as vis_rays_per_sec. Paused sessions render at full requested size.
 """
 
 from __future__ import annotations
@@ -41,6 +46,7 @@ from __future__ import annotations
 import io
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
@@ -141,21 +147,53 @@ view.addEventListener('mouseup',async e=>{
     dx_px:(e.offsetX-drag.x)*scale, dy_px:(e.offsetY-drag.y)*scale,
     yaw:+yaw.value, pitch:+pitch.value, radius:+radius.value, size:192});
   drag=null; refresh();});
-async function tick(){
-  const s = await (await fetch('/state')).json();
+// Push updates: the server streams state over SSE on every step/state
+// change; the view re-renders on push, paced so a new render is only
+// requested once the previous one has loaded (the server already sizes
+// renders from its measured rays/s budget).
+let rendering=false, pending=false;
+const viewEl=document.getElementById('view');
+viewEl.addEventListener('load',()=>{rendering=false;
+  if(pending){pending=false;refresh();}});
+viewEl.addEventListener('error',()=>{rendering=false;});
+const _refresh=refresh;
+refresh=function(){
+  if(rendering){pending=true;return;}
+  rendering=true; _refresh();
+};
+const es = new EventSource('/events');
+es.onmessage = (e)=>{
+  const s = JSON.parse(e.data);
   document.getElementById('state').textContent = JSON.stringify(s,null,1);
   refresh();
-  setTimeout(tick, 1200);
-}
-tick();
+};
+es.onerror = ()=>{ /* EventSource auto-reconnects */ };
+refresh();
 </script></body></html>"""
 
 
 class ViewerServer:
+    # viewer render budget: fraction of measured train throughput one
+    # on-push render may consume, at the target update rate
+    VIS_BUDGET_FRAC = 0.15
+    VIS_TARGET_FPS = 2.0
+    # SSE cadence: state checked at this period; heartbeat forces a push
+    # even without changes so proxies keep the stream alive
+    SSE_POLL_S = 0.25
+    SSE_HEARTBEAT_S = 5.0
+
     def __init__(self, interface: GenerationInterface, port: int = 7007):
         self.interface = interface
         self.port = port
         self._worker: Optional[threading.Thread] = None
+
+    def _state_dict(self):
+        t = self.interface.trainer
+        return {
+            "training_state": t.training_state,
+            "step": t.step,
+            "metrics": {k: round(v, 4) for k, v in GLOBAL_BUFFER.items()},
+        }
 
     # ------------------------------------------------------------------
 
@@ -187,12 +225,19 @@ class ViewerServer:
         from signerf_tpu.interface.overlay import compose_overlays
 
         trainer = self.interface.trainer
-        # render-vs-train throttling (parity: viewer.py:469-507 rays/s
-        # state machine): while training, keep viewer renders small so a
-        # view costs well under one train dispatch; full resolution when
-        # paused.
+        # Render-vs-train throttling (parity: viewer.py:469-507): while
+        # training, budget the viewer render to VIS_BUDGET_FRAC of measured
+        # device throughput at the target update rate. allowed_rays =
+        # train_rays_per_sec * budget / target_fps; size = sqrt(allowed).
+        # Falls back to a 128px cap until the first EMA sample lands.
         if trainer.training_state == "training":
-            size = min(size, 128)
+            tput = GLOBAL_BUFFER.get("train_rays_per_sec", 0.0)
+            if tput > 0:
+                allowed = tput * self.VIS_BUDGET_FRAC / self.VIS_TARGET_FPS
+                size = int(min(size, max(64, np.sqrt(allowed))))
+            else:
+                size = min(size, 128)
+        t_render = time.perf_counter()
         cam = self._orbit_cam(yaw, pitch, radius, size)
         cams = Cameras(
             camera_to_worlds=jnp.asarray(cam["c2w"])[None],
@@ -208,6 +253,13 @@ class ViewerServer:
         rb = cams.generate_rays(camera_index=0)
         out = pipeline._render(params, rb.reshape((size * size,)))
         rgb = np.asarray(out["rgb"]).reshape(size, size, 3)
+        # publish the measured viewer throughput (parity: VIS_RAYS_PER_SEC)
+        dt = max(time.perf_counter() - t_render, 1e-6)
+        ema = GLOBAL_BUFFER.get("vis_rays_per_sec")
+        cur = size * size / dt
+        GLOBAL_BUFFER["vis_rays_per_sec"] = (
+            cur if ema is None else 0.8 * ema + 0.2 * cur
+        )
         if show and any(show.values()):
             rgb = compose_overlays(
                 rgb, cam, self.interface.scene_elements(), show
@@ -306,16 +358,33 @@ class ViewerServer:
                     self.end_headers()
                     self.wfile.write(data)
                 elif url.path == "/state":
-                    t = server.interface.trainer
-                    self._json(
-                        {
-                            "training_state": t.training_state,
-                            "step": t.step,
-                            "metrics": {
-                                k: round(v, 4) for k, v in GLOBAL_BUFFER.items()
-                            },
-                        }
-                    )
+                    self._json(server._state_dict())
+                elif url.path == "/events":
+                    # SSE: push the state whenever step/training_state move
+                    # (plus a heartbeat). One thread per client — the
+                    # ThreadingHTTPServer already gives us that.
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/event-stream")
+                    self.send_header("Cache-Control", "no-cache")
+                    self.end_headers()
+                    last_sig, last_push = None, 0.0
+                    try:
+                        while True:
+                            s = server._state_dict()
+                            sig = (s["training_state"], s["step"])
+                            now = time.time()
+                            if sig != last_sig or (
+                                now - last_push > server.SSE_HEARTBEAT_S
+                            ):
+                                payload = json.dumps(s)
+                                self.wfile.write(
+                                    f"data: {payload}\n\n".encode()
+                                )
+                                self.wfile.flush()
+                                last_sig, last_push = sig, now
+                            time.sleep(server.SSE_POLL_S)
+                    except (BrokenPipeError, ConnectionResetError):
+                        pass  # client went away
                 elif url.path == "/render":
                     q = parse_qs(url.query)
                     try:

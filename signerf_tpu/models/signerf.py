@@ -56,16 +56,15 @@ class SIGNeRFModel(NerfactoModel):
                     config.lpips_weights_path, config.lpips_net
                 )
             else:
-                import warnings
+                from signerf_tpu.utils.calibration import warn_uncalibrated
 
-                msg = (
-                    "LPIPS running with RANDOM-INIT (uncalibrated) backbone "
-                    "weights: the logged 'lpips_loss' is a random-feature "
-                    "perceptual distance, NOT calibrated LPIPS. Export real "
-                    "weights to .npz and set lpips_weights_path."
+                warn_uncalibrated(
+                    "LPIPS",
+                    "the logged 'lpips_loss' is a random-feature perceptual "
+                    "distance, NOT calibrated LPIPS. Export real weights to "
+                    ".npz (scripts/export_lpips_weights.py) and set "
+                    "lpips_weights_path.",
                 )
-                warnings.warn(msg, stacklevel=2)
-                print(f"[signerf-tpu] WARNING: {msg}")
                 self.lpips_params = init_lpips(
                     jax.random.PRNGKey(0), config.lpips_net
                 )

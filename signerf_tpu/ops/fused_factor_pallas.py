@@ -34,9 +34,12 @@ transposes back to [N, D] in XLA (one pass over the output).
 Numerics match the XLA path's bf16-GEMM contract: hat/one-hot weights are
 computed in f32 and cast to bf16 for the MXU, accumulation in f32.
 
-Backward is NOT implemented here: the public wrapper in factor_grid.py uses
-jax.custom_vjp with this kernel as forward and the XLA reference as the
-recomputed backward (training keeps its existing gradient numerics).
+Backward: this file also implements the Pallas backward (see "backward
+kernel" section below — `fused_factor_encode_bwd_tpu`, recompute-style
+table + coordinate grads, plus the analytic-normals d(density)/d(position)
+kernels). Dispatch lives in factor_grid.py's `jax.custom_vjp`
+(`_encode_fused_bwd`): on TPU backends (`use_fused_kernel()`) both passes
+run these kernels; on CPU/GPU both fall back to the XLA reference path.
 """
 
 from __future__ import annotations

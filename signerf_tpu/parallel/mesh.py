@@ -47,6 +47,54 @@ def production_mesh(num_devices: Optional[int] = None, tensor: int = 2) -> Mesh:
     return get_mesh(n, axis_names=("data", "tensor"), shape=(n // tensor, tensor))
 
 
+def mesh_from_spec(spec: Optional[str]) -> Optional[Mesh]:
+    """Resolve a CLI ``--mesh`` spec to a Mesh (or None for single-device).
+
+    Specs:
+      * ``none``        — no mesh (single device).
+      * ``data``        — 1-D data-parallel mesh over all devices.
+      * ``production``  — the v5e-8 edit-pass layout, (data=n/2, tensor=2).
+      * ``auto``        — the shipped default: single device -> none;
+                          even device count -> production; else data.
+      * ``data=4,tensor=2`` — explicit axis sizes (any axis names; sizes
+                          must multiply to <= available devices).
+
+    This is what `train/render/eval/export` pass through, so a stock
+    v5e-8 invocation actually uses all 8 chips (the reference's
+    one-deployment topology, /root/reference/README.md:275-277).
+    """
+    if spec is None:
+        spec = "auto"
+    spec = str(spec).strip().lower()
+    n = len(jax.devices())
+    if spec in ("none", "off", "1", "false"):
+        return None
+    if spec == "auto":
+        if n == 1:
+            return None
+        return production_mesh(n) if n % 2 == 0 else get_mesh(n)
+    if spec == "data":
+        return get_mesh(n)
+    if spec == "production":
+        return production_mesh(n)
+    if "=" in spec:
+        names, sizes = [], []
+        for part in spec.split(","):
+            name, _, size = part.partition("=")
+            names.append(name.strip())
+            sizes.append(int(size))
+        total = int(np.prod(sizes))
+        if total > n:
+            raise ValueError(
+                f"mesh spec {spec!r} wants {total} devices, {n} available"
+            )
+        return get_mesh(total, axis_names=tuple(names), shape=tuple(sizes))
+    raise ValueError(
+        f"unknown mesh spec {spec!r} "
+        "(expected none|auto|data|production|name=size[,name=size...])"
+    )
+
+
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree across the mesh."""
     sharding = NamedSharding(mesh, P())

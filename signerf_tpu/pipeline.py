@@ -73,10 +73,17 @@ class SIGNeRFPipeline:
         self._render = make_eval_render(
             self.model,
             chunk_size=min(config.model.eval_num_rays_per_chunk, 8192),
-            mesh=mesh if (mesh is not None and "data" in mesh.axis_names) else None,
+            mesh=mesh,
         )
 
         outputs = self.datamanager.outputs
+        # The default in-process diffuser must see the SAME mesh as the rest
+        # of the pipeline: on the production ("data", "tensor") layout the
+        # per-view sheet inpaints — the edit pass's dominant phase — run
+        # TP-sharded over "tensor" and view-batched over "data". A caller-
+        # provided diffuser (tests, remote mode) is used as-is.
+        if diffuser is None:
+            diffuser = Diffuser(config.dataset_generator.diffuser, mesh=mesh)
         self.dataset_generator = DatasetGenerator(
             config.dataset_generator,
             original_transform_matrix=outputs.dataparser_transform,

@@ -51,6 +51,11 @@ def main(argv=None) -> int:
     arc_theta = float(opts.pop("arc-theta", opts.pop("arc_theta", 70.0)))
     downscale = int(opts.pop("downscale", 1))
     want_depth = str(opts.pop("depth", "true")).lower() in ("1", "true", "yes")
+    from signerf_tpu.parallel import mesh_from_spec
+
+    mesh = mesh_from_spec(opts.pop("mesh", "auto"))
+    if mesh is not None:
+        print(f"[render] device mesh: {dict(mesh.shape)} (rays DP over all axes)")
 
     dm = SIGNeRFDataManager(
         SIGNeRFDataManagerConfig(dataparser=SIGNeRFDataParserConfig(data=data))
@@ -84,7 +89,7 @@ def main(argv=None) -> int:
             height=cams.height,
         )
 
-    render = make_eval_render(model, chunk_size=8192)
+    render = make_eval_render(model, chunk_size=8192, mesh=mesh)
     out_dir.mkdir(parents=True, exist_ok=True)
     h, w = cams.height, cams.width
     aabb = jnp.asarray(dm.outputs.scene_box_aabb)

@@ -13,6 +13,11 @@ Common flags (parity with ns-train):
   --skip-interface True        headless generate+train
   --skip-generation True       reuse --generated-dataset-dir
   --train-only True            plain nerfacto training, no editing flow
+  --mesh SPEC                  device mesh: auto (default) | none | data |
+                               production | name=size[,name=size...].
+                               "auto" on a v5e-8 builds the production
+                               (data=4, tensor=2) layout: NeRF train/render
+                               DP over all 8 chips, SDXL TP=2 x view-DP=4.
 """
 
 from __future__ import annotations
@@ -47,9 +52,16 @@ def main(argv=None) -> int:
     ).lower() in ("1", "true", "yes")
     if "data" in overrides:
         overrides["pipeline.datamanager.dataparser.data"] = overrides.pop("data")
+    mesh_spec = overrides.pop("mesh", "auto")
     config = cfglib.apply_overrides(config, overrides)
 
-    trainer = SIGNeRFTrainer(config)
+    from signerf_tpu.parallel import mesh_from_spec
+
+    mesh = mesh_from_spec(mesh_spec)
+    if mesh is not None:
+        print(f"[train] device mesh: {dict(mesh.shape)}")
+
+    trainer = SIGNeRFTrainer(config, mesh=mesh)
     trainer.setup()
     if train_only:
         trainer.train()

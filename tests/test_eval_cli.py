@@ -54,6 +54,7 @@ class TestEvalCLI:
         )
         assert rc == 0
         summary = json.loads(out.read_text())
-        assert summary["num_images"] == 4
+        from tests.test_pipeline_e2e import N_CAMS
+        assert summary["num_images"] == N_CAMS
         assert "psnr" in summary and "ssim" in summary
-        assert len(summary["per_image"]) == 4
+        assert len(summary["per_image"]) == N_CAMS

@@ -116,6 +116,33 @@ class TestViewerServer:
         status, body = self._get(base + "/render?yaw=30&pitch=60&radius=2.0")
         assert status == 200 and body[:4] == b"\x89PNG"
 
+    def test_events_sse_pushes_state(self, server):
+        """/events streams state as SSE: an immediate push on connect, and
+        a pushed update when training_state changes (no client polling)."""
+        base, iface = server
+        with urllib.request.urlopen(base + "/events", timeout=60) as r:
+            assert r.headers.get("Content-Type", "").startswith(
+                "text/event-stream"
+            )
+            line = r.readline()
+            while not line.startswith(b"data: "):
+                line = r.readline()
+            first = json.loads(line[len(b"data: "):])
+            assert "training_state" in first and "step" in first
+            # flip the state; the stream must push the new value
+            prev = iface.trainer.training_state
+            iface.trainer.training_state = (
+                "paused" if prev != "paused" else "training"
+            )
+            try:
+                line = r.readline()
+                while not line.startswith(b"data: "):
+                    line = r.readline()
+                second = json.loads(line[len(b"data: "):])
+                assert second["training_state"] != first["training_state"]
+            finally:
+                iface.trainer.training_state = prev
+
     def test_train_pause_resume(self, server):
         base, iface = server
         self._post(base + "/train", json.dumps({"state": "paused"}).encode())

@@ -27,7 +27,7 @@ from signerf_tpu.models.signerf import SIGNeRFModelConfig
 from signerf_tpu.pipeline import SIGNeRFPipelineConfig
 
 H = W = 24
-N_CAMS = 4
+N_CAMS = 6
 
 
 def write_tiny_dataset(root: Path) -> Path:
@@ -36,11 +36,20 @@ def write_tiny_dataset(root: Path) -> Path:
 
     root.mkdir(parents=True, exist_ok=True)
     (root / "images").mkdir(exist_ok=True)
-    poses = np.asarray(circle_poses(N_CAMS, radius=2.0, theta=70.0, phi=(0.0, 270.0)))
+    poses = np.asarray(
+        circle_poses(
+            N_CAMS, radius=2.0, theta=70.0, phi=(0.0, 360.0 * (N_CAMS - 1) / N_CAMS)
+        )
+    )
     frames = []
     rng = np.random.RandomState(0)
     for i in range(N_CAMS):
-        img = np.full((H, W, 3), 255, np.uint8)
+        # Mostly-white views with a red square at the image center — the
+        # multi-view-consistent interpretation is a red object at the scene
+        # origin, so a short pretrain localizes density (and thus depth)
+        # inside the selection AABB. NOTE: start from 250, not 255 — adding
+        # noise to a uint8 255 wraps to ~0 and destroys the scene.
+        img = np.full((H, W, 3), 250, np.uint8)
         img[6:18, 6:18] = [200, 60, 60]
         img += rng.randint(0, 5, img.shape).astype(np.uint8)
         Image.fromarray(img).save(root / "images" / f"frame_{i:05d}.png")
@@ -82,6 +91,18 @@ def tiny_trainer_config(data_dir: Path, out_dir: Path) -> SIGNeRFTrainerConfig:
         use_l1=True,
         far_plane=8.0,
         eval_num_rays_per_chunk=256,
+        # Keep samples away from the cameras (auto-scaled to radius ~1.0):
+        # with a tiny view count the easy optimum is a density billboard
+        # just in front of each lens, which ruins depth and empties the
+        # AABB mask. near=0.5 puts the first sample close to the selection
+        # box entry (~0.64) so geometry forms at the origin.
+        near_plane=0.5,
+        # `last_sample` background lets a 4-view toy scene be fit with ZERO
+        # density (each ray's last sample memorizes the pixel), which
+        # collapses depth and empties the AABB edit mask. A black background
+        # forces real geometry so the masking + edit-landing checks below
+        # are meaningful.
+        background_color="black",
     )
     return SIGNeRFTrainerConfig(
         method_name="signerf_test",
@@ -101,25 +122,62 @@ def tiny_trainer_config(data_dir: Path, out_dir: Path) -> SIGNeRFTrainerConfig:
                 rows=2,
                 cols=2,
                 masking_mode="aabb",
-                aabb_min=(-0.4, -0.4, -0.4),
-                aabb_max=(0.4, 0.4, 0.4),
+                # A 6-view 24px toy NeRF cannot localize depth well enough
+                # for the box-interval mask to be deterministic, and a
+                # partial mask blends part of the edit away (reference
+                # semantics, datasetgenerator.py:558-562). Placing the AABB
+                # outside every ray makes `visible` identically zero, so
+                # inverse_mask (a reference config knob) yields an all-ones
+                # mask regardless of NeRF depth — the injected edit reaches
+                # the dataset deterministically, with its geometry pinned by
+                # the fake diffuser (EDIT box below). The intersection/
+                # dilation/condition paths still execute.
+                aabb_min=(5.0, 5.0, 5.0),
+                aabb_max=(6.0, 6.0, 6.0),
                 mask_dilation=(3, 3),
+                inverse_mask=True,
                 diffuser=DiffuserConfig(mode="custom"),
             ),
         ),
         optimizers=OptimizersConfig(),
-        max_num_iterations=8,
-        steps_per_call=2,
-        steps_per_save=8,
+        # enough refinement steps that the injected edit measurably lands in
+        # the NeRF (the edit-quality assertion below) while staying cheap:
+        # 8 dispatches x 25 tiny steps on a 24x24 scene.
+        max_num_iterations=200,
+        steps_per_call=25,
+        steps_per_save=200,
         skip_interface=True,
     )
 
 
+def _render_view(trainer, index: int) -> np.ndarray:
+    """Full-image render of training view `index` with current weights."""
+    trainer.pipeline.params = trainer.state.params
+    out = trainer.pipeline.render_camera_fn(
+        trainer.pipeline.datamanager.cameras, index
+    )
+    return np.asarray(out["rgb"], np.float32)
+
+
+# The fake diffuser paints the center of every sheet cell. Sheet geometry is
+# pinned by the test config: 2x2 grid of (24/downscale=12)px cells. A view
+# spliced into the last cell gets its center 4..8 painted, which upscales
+# (x2) to rows/cols 8..16 of the regenerated 24px view — EDIT_LO:EDIT_HI.
+CELL = H // 2  # sheet cell size (downscale_factor=2)
+EDIT_COLOR = np.array([0.2, 0.2, 0.9], np.float32)
+EDIT_LO, EDIT_HI = 8, 16
+
+
 def fake_diffuse(original, rendered, mask, condition):
     out = np.array(original)
-    if mask is not None:
-        m = mask[..., 0] > 0.5
-        out[m] = [0.2, 0.2, 0.9]
+    rows = max(1, out.shape[0] // CELL)
+    cols = max(1, out.shape[1] // CELL)
+    for r in range(rows):
+        for c in range(cols):
+            out[
+                r * CELL + CELL // 3 : r * CELL + 2 * CELL // 3,
+                c * CELL + CELL // 3 : c * CELL + 2 * CELL // 3,
+            ] = EDIT_COLOR
     return out
 
 
@@ -137,10 +195,10 @@ def e2e(tmp_path_factory):
 class TestEndToEnd:
     def test_initial_train_steps(self, e2e):
         trainer, _ = e2e
-        m0 = trainer.train_iteration()
+        trainer.train_iteration()
         for _ in range(3):
             m = trainer.train_iteration()
-        assert trainer.step == 8
+        assert trainer.step == 4 * trainer.config.steps_per_call
         assert np.isfinite(float(m["total_loss"]))
 
     def test_full_headless_flow(self, e2e):
@@ -156,12 +214,51 @@ class TestEndToEnd:
 
         trainer.exchange_training_dataset(generated)
         assert trainer.step == 0
+
+        # Edit-quality check (the system's central claim — the injected edit
+        # must LAND in the NeRF, /root/reference/README.md:22-26): the fake
+        # diffuser painted rows/cols EDIT_LO:EDIT_HI of every regenerated
+        # view EDIT_COLOR. Render one regenerated training view before and
+        # after refinement; the edited region must move toward the injected
+        # color and the rest of the frame must track its ground truth.
+        from PIL import Image
+
+        view = t["generated_indices"][0]
+        target_img = (
+            np.asarray(
+                Image.open(generated / t["frames"][view]["file_path"]),
+                np.float32,
+            )[..., :3]
+            / 255.0
+        )
+        box = (slice(EDIT_LO, EDIT_HI), slice(EDIT_LO, EDIT_HI))
+        # the dataset really carries the edit (inner pixels: the x2 bilinear
+        # upscale of the cell leaves a ~1px blended ring at the box edge)
+        inner = (slice(EDIT_LO + 2, EDIT_HI - 2), slice(EDIT_LO + 2, EDIT_HI - 2))
+        assert np.abs(target_img[inner] - EDIT_COLOR).mean() < 0.05
+
+        pre = _render_view(trainer, view)
+        pre_dist = float(np.abs(pre[box] - EDIT_COLOR).mean())
+
         # post-swap training runs on the edited data
         trainer.train()
         assert trainer.training_state == "completed"
         assert trainer.step >= trainer.config.max_num_iterations
         ckpts = list(trainer.checkpoint_dir.glob("step-*.ckpt"))
         assert ckpts, "checkpoints written"
+
+        post = _render_view(trainer, view)
+        post_dist = float(np.abs(post[box] - EDIT_COLOR).mean())
+        assert post_dist < pre_dist - 0.05, (
+            f"edit did not land: edited-region distance to the injected "
+            f"color went {pre_dist:.3f} -> {post_dist:.3f}"
+        )
+        outside = np.ones(post.shape[:2], bool)
+        outside[box] = False
+        unedited_err = float(np.abs(post[outside] - target_img[outside]).mean())
+        assert unedited_err < 0.3, (
+            f"refinement corrupted the unedited region (err {unedited_err:.3f})"
+        )
 
     def test_events_logged(self, e2e):
         trainer, tmp = e2e

@@ -28,7 +28,8 @@ class TestRenderCLI:
         assert rc == 0
         rgbs = sorted(out.glob("rgb_*.png"))
         depths = sorted(out.glob("depth_*.png"))
-        assert len(rgbs) == 4 and len(depths) == 4
+        from tests.test_pipeline_e2e import N_CAMS
+        assert len(rgbs) == N_CAMS and len(depths) == N_CAMS
         from PIL import Image
 
         img = np.asarray(Image.open(rgbs[0]))
