@@ -122,7 +122,10 @@ gen.downscale_factor = 2  # 512px cells -> 1536px padded sheet
 gen.masking_mode = "aabb"
 gen.aabb_min = (-0.5, -0.5, -0.5)
 gen.aabb_max = (0.5, 0.5, 0.5)
-gen.generation_batch_size = 2
+# Serial per-view generation: K=1 einsum-attention programs beat one K>1
+# flash batch at sheet scale (sdxl_pipeline serial-views gate), and the
+# device-resident diffuse path pipelines render(i+1) under diffusion(i).
+gen.generation_batch_size = 1
 gen.diffuser.mode = "jax_sdxl"
 gen.diffuser.num_inference_steps = 20
 gen.diffuser.prompt = "a stone sphere"
@@ -148,10 +151,15 @@ ref = np.asarray(circle_poses(8, radius=3.0, theta=55.0, phi=(0.0, 315.0)))[:, :
 t0 = time.time()
 generated = trainer.generate_dataset(reference_camera_to_worlds=ref)
 phases["generation"] = time.time() - t0
+timings = trainer.pipeline.dataset_generator.last_timings
+view_s = timings.get("view_s", [])
+warm_marginal = float(np.median(view_s[2:])) if len(view_s) > 4 else None
 print(
     f"dataset generation ({N_VIEWS} views + 8 refs, 3x3 sheet 1536px, "
     f"full SDXL 20 steps, batch {gen.generation_batch_size}): "
-    f"{phases['generation']:.0f}s",
+    f"{phases['generation']:.0f}s  (sheet {timings.get('sheet_s', 0):.0f}s, "
+    f"warm per-view marginal "
+    f"{warm_marginal if warm_marginal is not None else float('nan'):.1f}s)",
     flush=True,
 )
 
@@ -161,30 +169,69 @@ trainer.exchange_training_dataset(generated)
 phases["exchange"] = time.time() - t0
 print(f"exchange: {phases['exchange']:.0f}s", flush=True)
 
+
+def render_view(i):
+    dm = trainer.pipeline.datamanager
+    rb = dm.cameras.generate_rays(camera_index=i)
+    hh, ww = dm.cameras.height, dm.cameras.width
+    out = trainer.pipeline._render(
+        trainer.state.params, rb.reshape((hh * ww,)), appearance_mode="index"
+    )
+    return np.asarray(out["rgb"]).reshape(hh, ww, 3)
+
+
+# Pre-refinement render of view 0, untimed (the "did the edit land" check;
+# VERDICT r2 weak #6 at scale: masked-region delta pre vs post refinement).
+pre_render0 = render_view(0)
+
 cfg.max_num_iterations = REFINE_STEPS
 t0 = time.time()
 trainer.train()
 phases["refine"] = time.time() - t0
 print(f"refine {REFINE_STEPS} steps: {phases['refine']:.0f}s", flush=True)
 
-# --- eval PSNR on the edited dataset ---
+# --- eval PSNR on the edited dataset + masked-region edit delta ---
 t0 = time.time()
 dm = trainer.pipeline.datamanager
 cams = dm.cameras
 n_eval = min(4, len(cams))
 psnrs = []
+post_render0 = None
 for i in range(n_eval):
-    rb = cams.generate_rays(camera_index=i)
-    hh, ww = cams.height, cams.width
-    out = trainer.pipeline._render(
-        trainer.state.params, rb.reshape((hh * ww,)), appearance_mode="index"
-    )
-    pred = np.asarray(out["rgb"]).reshape(hh, ww, 3)
+    pred = render_view(i)
     target = np.asarray(dm.images[i], np.float32) / 255.0
     mse = float(np.mean((pred - target) ** 2))
     psnrs.append(-10 * np.log10(max(mse, 1e-12)))
     if i == 0:
+        post_render0 = pred
         save_array_png(pred, ROOT / "refined_render_0.png")
+
+# Did the edit land in the NeRF?  Mean |delta| of view 0's render across
+# refinement must be concentrated inside the edit mask (the reference's
+# product definition: the refined scene shows the edit,
+# /root/reference/README.md:22-26).
+from PIL import Image  # noqa: E402
+
+mask_path = sorted((generated / "masks").glob("mask_*.png"))[0]
+mask0 = np.asarray(Image.open(mask_path).convert("L"), np.float32)[..., None] / 255.0
+if mask0.shape[:2] != pre_render0.shape[:2]:
+    mask0 = np.asarray(
+        Image.open(mask_path)
+        .convert("L")
+        .resize((pre_render0.shape[1], pre_render0.shape[0])),
+        np.float32,
+    )[..., None] / 255.0
+delta = np.abs(post_render0 - pre_render0)
+masked_delta = float((delta * mask0).sum() / np.maximum(mask0.sum() * 3, 1))
+unmasked_delta = float(
+    (delta * (1 - mask0)).sum() / np.maximum((1 - mask0).sum() * 3, 1)
+)
+print(
+    f"edit-landing check (view 0): masked-region mean |delta| "
+    f"{masked_delta:.4f} vs unmasked {unmasked_delta:.4f} "
+    f"(ratio {masked_delta / max(unmasked_delta, 1e-9):.1f}x)",
+    flush=True,
+)
 phases["eval"] = time.time() - t0
 print(f"eval PSNR on edited dataset ({n_eval} views): "
       f"{np.mean(psnrs):.2f} dB (per-view {['%.1f' % p for p in psnrs]})",
@@ -202,15 +249,32 @@ print(
     f"~{(phases['generation']/8 + phases['exchange'] + phases['refine']/6)/60:.1f} min total",
     flush=True,
 )
-print(
-    json.dumps(
-        {
-            "n_views": N_VIEWS,
-            "refine_steps": REFINE_STEPS,
-            "phases_s": {k: round(v, 1) for k, v in phases.items()},
-            "edit_pass_s": round(edit_pass, 1),
-            "eval_psnr_db": round(float(np.mean(psnrs)), 2),
-        }
-    ),
-    flush=True,
+# v5e-8 projection built from MEASURED terms: the sheet is one inpaint
+# (not parallelizable over views), per-view work is DP over views at the
+# measured warm marginal, refinement is DP over rays (conservative /6).
+proj_gen_s = (
+    timings.get("sheet_s", 0.0)
+    + (warm_marginal or 0.0) * int(np.ceil(N_VIEWS / 8))
+    if warm_marginal is not None
+    else phases["generation"] / 8
 )
+proj_total_s = proj_gen_s + phases["exchange"] + phases["refine"] / 6
+result = {
+    "n_views": N_VIEWS,
+    "refine_steps": REFINE_STEPS,
+    "phases_s": {k: round(v, 1) for k, v in phases.items()},
+    "edit_pass_s": round(edit_pass, 1),
+    "edit_pass_min": round(edit_pass / 60, 1),
+    "sheet_s": round(timings.get("sheet_s", 0.0), 1),
+    "warm_per_view_marginal_s": (
+        None if warm_marginal is None else round(warm_marginal, 2)
+    ),
+    "view_s_first": round(view_s[0], 1) if view_s else None,
+    "eval_psnr_db": round(float(np.mean(psnrs)), 2),
+    "edit_landing_masked_delta": round(masked_delta, 4),
+    "edit_landing_unmasked_delta": round(unmasked_delta, 4),
+    "v5e8_projection_min": round(proj_total_s / 60, 1),
+    "v5e8_projection_generation_s": round(proj_gen_s, 1),
+}
+print(json.dumps(result), flush=True)
+(ROOT / "north_star_result.json").write_text(json.dumps(result, indent=2))

@@ -95,9 +95,16 @@ class Diffuser:
         rendered_image: np.ndarray,  # [H, W, 3] float
         mask_image: Optional[np.ndarray] = None,  # [H, W, 1] float
         condition_image: Optional[np.ndarray] = None,  # [H, W, 1] float
+        device_out: bool = False,
     ) -> np.ndarray:
         """Edit `original_image` guided by the depth condition; returns
         [H, W, 3] float (same dims as the input, parity diffuser.py:188-193).
+
+        With `device_out=True` the jax_sdxl backend keeps inputs and output
+        on-device (async dispatch, no host round-trip); the other backends
+        ignore the flag and return host arrays as always — host boundaries
+        are inherent to HTTP (`remote_sdwebui`) and to the np-array contract
+        of `custom` test fakes.
         """
         mode = self.config.mode
         if mode == "custom":
@@ -107,15 +114,25 @@ class Diffuser:
                     "(the reference's extension point, diffuser.py:102-113)"
                 )
             return self.custom_fn(
-                original_image, rendered_image, mask_image, condition_image
+                np.asarray(original_image),
+                np.asarray(rendered_image),
+                None if mask_image is None else np.asarray(mask_image),
+                None if condition_image is None else np.asarray(condition_image),
             )
         if mode == "remote_sdwebui":
             return self._diffuse_remote(
-                original_image, rendered_image, mask_image, condition_image
+                np.asarray(original_image),
+                np.asarray(rendered_image),
+                None if mask_image is None else np.asarray(mask_image),
+                None if condition_image is None else np.asarray(condition_image),
             )
         if mode == "jax_sdxl":
             return self._diffuse_jax_sdxl(
-                original_image, rendered_image, mask_image, condition_image
+                original_image,
+                rendered_image,
+                mask_image,
+                condition_image,
+                device_out=device_out,
             )
         raise ValueError(f"unknown diffuser mode {mode!r}")
 
@@ -125,21 +142,19 @@ class Diffuser:
         rendered_images: np.ndarray,
         mask_images: Optional[np.ndarray] = None,  # [K, H, W, 1]
         condition_images: Optional[np.ndarray] = None,
+        device_out: bool = False,
     ) -> np.ndarray:
         """Batched edit. jax_sdxl diffuses all K images in ONE jitted call
         (the per-view generation fast path); other modes loop."""
         if self.config.mode == "jax_sdxl":
             cfg = self.config
             pipe = self._get_sdxl()
-            return np.asarray(
-                pipe.img2img(
-                    image=np.asarray(original_images),
+            out = pipe.img2img(
+                    image=original_images,
                     prompt=cfg.prompt,
                     negative_prompt=cfg.negative_prompt,
-                    mask=None if mask_images is None else np.asarray(mask_images),
-                    control_image=None
-                    if condition_images is None
-                    else np.asarray(condition_images),
+                    mask=mask_images,
+                    control_image=condition_images,
                     strength=cfg.denoising_strength,
                     num_steps=cfg.num_inference_steps,
                     guidance_scale=cfg.guidance_scale,
@@ -150,8 +165,9 @@ class Diffuser:
                     mask_blur=cfg.mask_blur,
                     inpainting_fill=cfg.inpainting_fill,
                     control_mode=cfg.controlnet_control_mode,
-                )
+                    device_out=device_out,
             )
+            return out if device_out else np.asarray(out)
         outs = []
         for i in range(len(original_images)):
             outs.append(
@@ -178,16 +194,16 @@ class Diffuser:
         return self._sdxl
 
     def _diffuse_jax_sdxl(
-        self, original, rendered, mask, condition
+        self, original, rendered, mask, condition, device_out: bool = False
     ) -> np.ndarray:
         cfg = self.config
         pipe = self._get_sdxl()
         out = pipe.img2img(
-            image=np.asarray(original),
+            image=original,
             prompt=cfg.prompt,
             negative_prompt=cfg.negative_prompt,
-            mask=None if mask is None else np.asarray(mask),
-            control_image=None if condition is None else np.asarray(condition),
+            mask=mask,
+            control_image=condition,
             strength=cfg.denoising_strength,
             num_steps=cfg.num_inference_steps,
             guidance_scale=cfg.guidance_scale,
@@ -198,8 +214,9 @@ class Diffuser:
             mask_blur=cfg.mask_blur,
             inpainting_fill=cfg.inpainting_fill,
             control_mode=cfg.controlnet_control_mode,
+            device_out=device_out,
         )
-        return np.asarray(out)
+        return out if device_out else np.asarray(out)
 
     # ------------------------------------------------------------------
     # wire-compatible A1111 client

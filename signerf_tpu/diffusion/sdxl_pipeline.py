@@ -267,12 +267,21 @@ class SDXLInpaintPipeline:
         mask_blur: int = 4,
         inpainting_fill: int = 1,
         control_mode: str = "balanced",
+        device_out: bool = False,
     ) -> np.ndarray:
         """Edit one image or a whole batch in ONE jitted program.
 
         Batched inputs (leading K) are the per-view generation fast path
         (SURVEY.md §3.2 hot-loop note): K spliced sheets diffuse together,
         amortizing the UNet across views.
+
+        `device_out=True` returns the edited image as a device (jax) array
+        without any host round-trip: JAX inputs stay resident, dispatch is
+        async, and the caller decides when (and on which thread) to fetch.
+        This is what lets the generator's per-view loop pipeline — the host
+        enqueues view i+1's NeRF render while view i's denoise chain is
+        still executing (the reference pays this serialization over HTTP,
+        /root/reference/signerf/diffuser/diffuser.py:180).
         """
         cfg = self.config
         single = np.ndim(image) == 3
@@ -318,17 +327,19 @@ class SDXLInpaintPipeline:
                 def per_view(x, k):
                     if x is None or np.ndim(x) == 3:
                         return x  # shared [H, W, C] conditioning
-                    return np.asarray(x)[k]
+                    return x[k]  # device- or host-side indexing alike
 
-                return np.stack(
+                stack = jnp.stack if device_out else np.stack
+                return stack(
                     [
                         self.img2img(
-                            np.asarray(image)[k], prompt, negative_prompt,
+                            img[k], prompt, negative_prompt,
                             per_view(mask, k), per_view(control_image, k),
                             strength, num_steps, guidance_scale,
                             controlnet_scale, controlnet_start,
                             controlnet_end, seed, mask_blur,
                             inpainting_fill, control_mode,
+                            device_out=device_out,
                         )
                         for k in range(k_batch)
                     ]
@@ -427,7 +438,8 @@ class SDXLInpaintPipeline:
         # benches) producing valid images without touching sampler
         # semantics.
         out = jnp.clip(jnp.nan_to_num(out, nan=0.5, posinf=1.0, neginf=0.0), 0.0, 1.0)
-        return np.asarray(out[0] if single else out)
+        out = out[0] if single else out
+        return out if device_out else np.asarray(out)
 
     # ------------------------------------------------------------------
 

@@ -137,6 +137,11 @@ class DatasetGenerator:
         self._save_pool = None
         self._pending_prev: List = []
         self._pending_cur: List = []
+        # Per-phase wall-clock of the last generate_dataset() call:
+        # {"sheet_s": float, "view_s": [per-chunk seconds...]}. view_s[0]
+        # includes one-time compiles; the steady-state marginal is the
+        # median of the tail (bench/north-star report both).
+        self.last_timings: Dict[str, Any] = {}
 
     # ------------------------------------------------------------------
     # intrinsics backfill (parity: signerf_pipeline.py:60-88)
@@ -370,10 +375,11 @@ class DatasetGenerator:
 
         edited_sheet = jnp.asarray(
             self.diffuser.diffuse(
-                np.asarray(image_sheet),
-                np.asarray(image_sheet),
-                np.asarray(mask_sheet),
-                np.asarray(cond_sheet),
+                image_sheet,
+                image_sheet,
+                mask_sheet,
+                cond_sheet,
+                device_out=True,
             ),
             jnp.float32,
         )
@@ -420,10 +426,11 @@ class DatasetGenerator:
         )
         edited_sheet = jnp.asarray(
             self.diffuser.diffuse(
-                np.asarray(image_sheet2),
-                np.asarray(image_sheet2),
-                np.asarray(mask_sheet),
-                np.asarray(cond_sheet2),
+                image_sheet2,
+                image_sheet2,
+                mask_sheet,
+                cond_sheet2,
+                device_out=True,
             ),
             jnp.float32,
         )
@@ -480,11 +487,13 @@ class DatasetGenerator:
             sheets_m.append(sm)
             sheets_c.append(sc)
 
-        batch_i = np.stack([np.asarray(s) for s in sheets_i])
-        batch_m = np.stack([np.asarray(s) for s in sheets_m])
-        batch_c = np.stack([np.asarray(s) for s in sheets_c])
+        device = self.config.diffuser.mode == "jax_sdxl"
+        stack = jnp.stack if device else np.stack
+        batch_i = stack([s if device else np.asarray(s) for s in sheets_i])
+        batch_m = stack([s if device else np.asarray(s) for s in sheets_m])
+        batch_c = stack([s if device else np.asarray(s) for s in sheets_c])
         edited_sheets = self.diffuser.diffuse_batch(
-            batch_i, batch_i, batch_m, batch_c
+            batch_i, batch_i, batch_m, batch_c, device_out=device
         )
 
         out = []
@@ -637,6 +646,7 @@ class DatasetGenerator:
             transforms["reference_indices"].append(idx)
             idx += 1
         self._write_transforms(transforms)
+        self.last_timings = {"sheet_s": time.time() - t_start, "view_s": []}
         print(
             f"[generator] reference sheet + {len(ref_cams)} reference views "
             f"done ({time.time() - t_start:.0f}s)",
@@ -645,6 +655,7 @@ class DatasetGenerator:
 
         transforms["generated_indices"] = []
         bsz = max(1, int(c.generation_batch_size))
+        t_prev = time.time()
         for start in range(0, len(gen_cams), bsz):
             chunk = list(range(start, min(start + bsz, len(gen_cams))))
             if bsz == 1:
@@ -674,9 +685,12 @@ class DatasetGenerator:
                 transforms["generated_indices"].append(idx)
                 idx += 1
             self._write_transforms(transforms)
+            now = time.time()
+            self.last_timings["view_s"].append(now - t_prev)
+            t_prev = now
             print(
                 f"[generator] views {chunk[-1] + 1}/{len(gen_cams)} "
-                f"({time.time() - t_start:.0f}s)",
+                f"({now - t_start:.0f}s)",
                 flush=True,
             )
 
