@@ -45,6 +45,26 @@ def _trunc_exp_jvp(primals, tangents):
     return y, t * y
 
 
+class DenseParams(nn.Module):
+    """Declares exactly the params of an `nn.Dense` (same names, shapes,
+    initializers) and returns them as arrays instead of computing — lets a
+    parent hand the weights to a fused kernel while keeping the param tree
+    bit-identical to the Dense-computed path."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_dim, self.features),
+        )
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return k, b
+
+
 class MLP(nn.Module):
     """Plain ReLU MLP; bf16 compute / fp32 params by default."""
 
@@ -55,7 +75,27 @@ class MLP(nn.Module):
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: Optional[jnp.ndarray] = None,
+        *,
+        in_dim: Optional[int] = None,
+        return_weights: bool = False,
+    ):
+        """Default: apply the MLP to `x`. With `return_weights=True` (and
+        `in_dim` giving the input width), declare the SAME param tree via
+        `DenseParams` children and return ((k0, b0), ...) for a fused-kernel
+        caller (`ops/factor_grid.fused_density_mlp`). Both modes create
+        identical params, so checkpoints are interchangeable."""
+        if return_weights:
+            assert in_dim is not None
+            dims = [in_dim] + [self.hidden_dim] * (self.num_layers - 1) + [
+                self.out_dim
+            ]
+            return tuple(
+                DenseParams(dims[i], dims[i + 1], name=f"dense_{i}")()
+                for i in range(self.num_layers)
+            )
         orig_dtype = x.dtype
         x = x.astype(self.compute_dtype)
         for i in range(self.num_layers - 1):
@@ -192,11 +232,30 @@ class NerfactoField(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """positions [..., 3] world -> (density [...], geo_feat [..., G]).
 
-        Both train and eval use the fused Pallas encode (forward kernel +
-        split table/coords backward kernels in ops/fused_factor_pallas.py).
+        On TPU with the factor backend, encode + base MLP run as ONE fused
+        Pallas kernel (`ops/factor_grid.fused_density_mlp`) — the [N, 256]
+        feature matrix never touches HBM; only the [N, 1+G] head output
+        does. Elsewhere: fused/XLA encode followed by the flax MLP (same
+        param tree either way — MLP(return_weights=True) declares identical
+        params).
         """
         del train
         pos01 = contract_to_unit(positions)
+        if self.encoding_backend == "factor":
+            from signerf_tpu.ops.factor_grid import (
+                fused_density_mlp,
+                use_fused_kernel,
+            )
+
+            if use_fused_kernel():
+                cfg = self.encoding.config
+                ws = self.mlp_base(in_dim=cfg.out_dim, return_weights=True)
+                x = jnp.clip(pos01.reshape(-1, 3), 0.0, 1.0)
+                h = fused_density_mlp(
+                    cfg, self.encoding.get_lines(), ws, x
+                ).reshape(*pos01.shape[:-1], 1 + self.geo_feat_dim)
+                density = self.average_init_density * trunc_exp(h[..., 0] - 1.0)
+                return density, h[..., 1:]
         feats = self.encoding(pos01)
         h = self.mlp_base(feats)
         # nerfstudio parity: density = average_init_density * trunc_exp(x)
@@ -435,16 +494,35 @@ class HashMLPDensityField(nn.Module):
             from signerf_tpu.ops.factor_grid import (
                 FactorGridConfig,
                 FactorGridEncoding,
+                fused_density_mlp,
+                use_fused_kernel,
             )
 
-            feats = FactorGridEncoding(
-                FactorGridConfig(
-                    num_levels=self.num_levels,
-                    base_res=self.base_res,
-                    max_res=self.max_res,
-                    features_per_level=self.factor_features_per_level,
+            cfg = FactorGridConfig(
+                num_levels=self.num_levels,
+                base_res=self.base_res,
+                max_res=self.max_res,
+                features_per_level=self.factor_features_per_level,
+            )
+            enc = FactorGridEncoding(cfg)
+            if not self.use_linear and use_fused_kernel():
+                # Fused encode+MLP kernel: density logits come straight out
+                # of VMEM ([N, 1] instead of an [N, D] f32 feature matrix +
+                # transpose + XLA MLP — the proposal fields evaluate 256
+                # samples/ray, so this path is the render hot spot).
+                mlp = MLP(
+                    hidden_dim=self.hidden_dim,
+                    num_layers=2,
+                    out_dim=1,
+                    compute_dtype=self.compute_dtype,
                 )
-            )(pos01)
+                ws = mlp(in_dim=cfg.out_dim, return_weights=True)
+                x = jnp.clip(pos01.reshape(-1, 3), 0.0, 1.0)
+                h = fused_density_mlp(cfg, enc.get_lines(), ws, x).reshape(
+                    *pos01.shape[:-1], 1
+                )
+                return trunc_exp(h[..., 0] - 1.0)
+            feats = enc(pos01)
         else:
             feats = HashGridEncoding(
                 num_levels=self.num_levels,

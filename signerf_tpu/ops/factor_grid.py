@@ -289,6 +289,15 @@ class FactorGridEncoding(nn.Module):
             dout.reshape(*batch_shape, 3, cfg.out_dim),
         )
 
+    def get_lines(self):
+        """The [level][axis] line-param pytree — for callers that feed the
+        params into a fused kernel (e.g. `fused_density_mlp`) instead of
+        running the encode through this module."""
+        return tuple(
+            tuple(self.lines[lvl][ax] for ax in range(3))
+            for lvl in range(len(self.config.resolutions))
+        )
+
     @property
     def out_dim(self) -> int:
         return self.config.out_dim
@@ -375,3 +384,103 @@ def _grad_encode_fused_bwd(cfg, residuals, ct):
 
 
 grad_encode_fused.defvjp(_grad_encode_fused_fwd, _grad_encode_fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused encode + density-MLP (encode fused with the 2-layer bf16 head)
+# ---------------------------------------------------------------------------
+
+
+def mlp2_reference(feats: jnp.ndarray, ws) -> jnp.ndarray:
+    """Exact-parity 2-layer bf16 MLP (== models.fields.MLP(num_layers=2) with
+    compute_dtype=bfloat16): bf16 GEMM -> bf16 bias add -> ReLU -> bf16 GEMM
+    -> bf16 bias add -> f32. `ws` = ((k0, b0), (k1, b1)) in flax Dense
+    layout/fp32 params."""
+    (k0, b0), (k1, b1) = ws
+    x = feats.astype(jnp.bfloat16)
+    h = jnp.maximum(x @ k0.astype(jnp.bfloat16) + b0.astype(jnp.bfloat16), 0)
+    o = h @ k1.astype(jnp.bfloat16) + b1.astype(jnp.bfloat16)
+    return o.astype(jnp.float32)
+
+
+def density_mlp_reference(cfg: FactorGridConfig, lines, ws, x01) -> jnp.ndarray:
+    """Pure-XLA reference for the fused encode+MLP path: [N, O] f32."""
+    return mlp2_reference(_encode_reference(cfg, lines, x01), ws)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def fused_density_mlp(cfg: FactorGridConfig, lines, ws, x01) -> jnp.ndarray:
+    """Encode + 2-layer MLP in one pass: [N, 3] pos01 -> [N, O] f32.
+
+    On TPU backends the forward is ONE Pallas kernel
+    (`fused_factor_density_tpu`) that never materializes the [N, D] feature
+    matrix in HBM — the tiny-cuda-nn fully-fused capability the reference
+    rides (SURVEY.md §2b row 1). The backward recomputes features with the
+    fused encode kernel, takes the MLP vjp in XLA (small GEMMs) and routes
+    table/coordinate grads through the analytic encode backward kernel —
+    so training cost matches the unfused path while forward-only consumers
+    (render/eval, proposal evaluation under stop-grad sampling) skip the
+    feature round-trip entirely. Off-TPU both passes use the XLA reference
+    expression."""
+    from signerf_tpu.ops import fused_factor_pallas as ffp
+
+    if use_fused_kernel() or ffp.FORCE_INTERPRET:
+        packed = ffp.pack_tables(cfg.resolutions, lines)
+        (k0, b0), (k1, b1) = ws
+        return ffp.fused_factor_density_tpu(
+            cfg.resolutions,
+            cfg.features_per_level,
+            packed,
+            x01,
+            k0,
+            b0,
+            k1,
+            b1,
+            ffp.FORCE_INTERPRET,
+        )
+    return density_mlp_reference(cfg, lines, ws, x01)
+
+
+def _fused_density_mlp_fwd(cfg, lines, ws, x01):
+    return fused_density_mlp(cfg, lines, ws, x01), (lines, ws, x01)
+
+
+def _fused_density_mlp_bwd(cfg, residuals, g):
+    lines, ws, x01 = residuals
+    from signerf_tpu.ops import fused_factor_pallas as ffp
+
+    fused = use_fused_kernel() or ffp.FORCE_INTERPRET
+    if fused:
+        packed = ffp.pack_tables(cfg.resolutions, lines)
+        feats = ffp.fused_factor_encode_tpu(
+            cfg.resolutions,
+            cfg.features_per_level,
+            packed,
+            x01,
+            ffp.FORCE_INTERPRET,
+        )
+    else:
+        feats = _encode_reference(cfg, lines, x01)
+    _, mlp_vjp = jax.vjp(mlp2_reference, feats, ws)
+    g_feats, g_ws = mlp_vjp(g)
+    if fused:
+        grad_packed, grad_x = ffp.fused_factor_encode_bwd_tpu(
+            cfg.resolutions,
+            cfg.features_per_level,
+            packed,
+            x01,
+            g_feats,
+            ffp.FORCE_INTERPRET,
+        )
+        grad_lines = ffp.unpack_table_grads(
+            cfg.resolutions, grad_packed, cfg.features_per_level
+        )
+    else:
+        _, evjp = jax.vjp(
+            lambda l, x: _encode_reference(cfg, l, x), lines, x01
+        )
+        grad_lines, grad_x = evjp(g_feats)
+    return grad_lines, g_ws, grad_x
+
+
+fused_density_mlp.defvjp(_fused_density_mlp_fwd, _fused_density_mlp_bwd)

@@ -917,3 +917,182 @@ def fused_factor_grad_bwd_tpu(
     g_smalls = tuple(table_outs[:3])
     g_larges = tuple(table_outs[3 : 3 + len(larges)])
     return (g_smalls, g_larges), g_coords_t[:, :n].T
+
+
+# ---------------------------------------------------------------------------
+# fused encode + density-MLP forward kernel
+# ---------------------------------------------------------------------------
+#
+# The encode kernel above emits [D, N] f32 features to HBM, XLA transposes
+# them to [N, D], and a 2-layer bf16 MLP reduces them to a handful of
+# channels. For the proposal density fields (D=40 -> 16 -> 1) and the final
+# field's base MLP (D=256 -> 64 -> 16) that round-trip is almost pure HBM
+# tax: at render scale (8192 rays x 256 samples) the [D, N] f32 write plus
+# the transpose's read+write move ~1 GB per chunk to produce 8 MB of
+# densities. This kernel keeps the per-level CP features in VMEM and applies
+# the MLP (two MXU dots over the level-concatenated feature rows) in-place,
+# emitting only the MLP's output rows — the capability the reference gets
+# from tiny-cuda-nn's fully-fused HashGrid+MLP CUDA kernels (SURVEY.md §2b
+# row 1).
+#
+# Numerics match the XLA path's Dense(bf16) contract: feature products are
+# f32 (same as the encode kernel), each dot takes bf16 operands with f32
+# accumulation, and layer outputs round to bf16 before bias-add/ReLU exactly
+# like flax Dense with dtype=bfloat16.
+
+
+def _make_density_kernel(
+    resolutions: Tuple[int, ...], feat: int, blk: int, head_dtype
+):
+    # head_dtype: bf16 compiled on TPU (the Dense contract); f32 in interpret
+    # mode — XLA:CPU's eager DotThunk can't execute bf16 x bf16 -> f32 for
+    # the head's shapes, and interpret runs are parity tests, not perf.
+    small_res, large_res = _split_levels(resolutions)
+    n_small = len(small_res)
+
+    def kernel(
+        coords_ref, scale_ref, offset_ref, w0_ref, b0_ref, w1_ref, b1_ref,
+        small_x, small_y, small_z, *large_refs, out_ref
+    ):
+        smalls = (small_x, small_y, small_z)
+        parts = []
+        if n_small:
+            p_small = None
+            for ax in range(3):
+                u = coords_ref[ax : ax + 1, :]  # [1, BLK]
+                hat = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(scale_ref[:, :] * u - offset_ref[:, :])
+                )
+                f_ax = jax.lax.dot_general(
+                    smalls[ax][:, :],
+                    hat.astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [n_small*F, BLK]
+                p_small = f_ax if p_small is None else p_small * f_ax
+            parts.append(p_small)
+        for li, res in enumerate(large_res):
+            r1 = _num_blocks(res)
+            r1_pad = _round_up(r1, 8)
+            p_lvl = None
+            for ax in range(3):
+                u = coords_ref[ax : ax + 1, :]
+                blocks = large_refs[li * 3 + ax]  # [9F, r1_pad]
+                xl = u * (res - 1)
+                a = jnp.clip(jnp.floor(xl * (1.0 / TAP_BLOCK)), 0, r1 - 1)
+                x_loc = xl - a * TAP_BLOCK
+                sub = jax.lax.broadcasted_iota(jnp.int32, (r1_pad, blk), 0)
+                onehot = (sub.astype(jnp.float32) == a).astype(jnp.bfloat16)
+                t1 = jax.lax.dot_general(
+                    blocks[:, :],
+                    onehot,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [9F, BLK]
+                acc = None
+                for c in range(TAP_BLOCK + 1):
+                    w = jnp.maximum(0.0, 1.0 - jnp.abs(x_loc - c))
+                    term = w * t1[c * feat : (c + 1) * feat, :]
+                    acc = term if acc is None else acc + term
+                p_lvl = acc if p_lvl is None else p_lvl * acc
+            parts.append(p_lvl)
+        feats = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        # layer 0: [H, D] @ [D, BLK] (head_dtype in, f32 accum) -> bf16
+        # rounding + bias, ReLU — the flax Dense(dtype=bf16) contract.
+        h = jax.lax.dot_general(
+            w0_ref[:, :].astype(head_dtype),
+            feats.astype(head_dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        h = jnp.maximum(h + b0_ref[:, :].astype(jnp.bfloat16), 0)
+        # layer 1: [O_pad, H] @ [H, BLK]
+        o = jax.lax.dot_general(
+            w1_ref[:, :].astype(head_dtype),
+            h.astype(head_dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        out_ref[:, :] = (o + b1_ref[:, :].astype(jnp.bfloat16)).astype(
+            jnp.float32
+        )
+
+    return kernel, small_res, large_res
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 8))
+def fused_factor_density_tpu(
+    resolutions: Tuple[int, ...],
+    feat: int,
+    packed: Tuple,
+    coords01: jnp.ndarray,  # [N, 3] f32, pre-clipped to [0, 1]
+    w0: jnp.ndarray,  # [D, H] f32 (flax Dense layout)
+    b0: jnp.ndarray,  # [H]
+    w1: jnp.ndarray,  # [H, O]
+    b1: jnp.ndarray,  # [O]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused encode + 2-layer-MLP forward: -> [N, O] f32 MLP outputs.
+
+    Forward only — training gradients route through factor_grid's
+    `fused_density_mlp` custom_vjp (encode recompute + XLA MLP vjp + the
+    encode backward kernel)."""
+    blk = 1024
+    n = coords01.shape[0]
+    n_pad = _round_up(max(n, blk), blk)
+    coords_t = coords01.T
+    if n_pad != n:
+        coords_t = jnp.pad(coords_t, ((0, 0), (0, n_pad - n)))
+
+    d_in, hidden = w0.shape
+    out_dim = w1.shape[1]
+    assert d_in == len(resolutions) * feat
+    assert hidden % 8 == 0, "hidden dim must be a multiple of 8 (sublanes)"
+    out_pad = _round_up(out_dim, 8)
+
+    head_dtype = jnp.float32 if interpret else jnp.bfloat16
+    w0t = w0.T.astype(jnp.bfloat16)  # [H, D] (bf16 rounding = Dense contract)
+    b0c = b0.reshape(hidden, 1).astype(jnp.float32)
+    w1t = jnp.pad(w1.T, ((0, out_pad - out_dim), (0, 0))).astype(jnp.bfloat16)
+    b1c = jnp.pad(b1, (0, out_pad - out_dim)).reshape(out_pad, 1).astype(
+        jnp.float32
+    )
+
+    kernel, small_res, large_res = _make_density_kernel(
+        resolutions, feat, blk, head_dtype
+    )
+    smalls, larges = packed
+    s_scale, s_offset = small_meta(small_res)
+    scale_arr = jnp.asarray(s_scale)
+    offset_arr = jnp.asarray(s_offset)
+
+    def body(coords_ref, *refs):
+        *in_refs, out_ref = refs
+        kernel(coords_ref, *in_refs, out_ref=out_ref)
+
+    grid = (n_pad // blk,)
+    full = lambda shape: pl.BlockSpec(  # noqa: E731 — whole-array operand
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((3, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        full(scale_arr.shape),
+        full(offset_arr.shape),
+        full(w0t.shape),
+        full(b0c.shape),
+        full(w1t.shape),
+        full(b1c.shape),
+        *[full(s.shape) for s in smalls],
+        *[full(b.shape) for b in larges],
+    ]
+    out_t = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (out_pad, blk), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((out_pad, n_pad), jnp.float32),
+        interpret=interpret,
+    )(coords_t, scale_arr, offset_arr, w0t, b0c, w1t, b1c, *smalls, *larges)
+    return out_t[:out_dim, :n].T  # [N, O]

@@ -160,3 +160,119 @@ def test_grad_kernel_matches_xla_dhat(name):
     # derivative magnitudes scale with (res-1); tolerance relative to range
     tol = 0.02 * max(np.abs(ref).max(), 1e-3)
     np.testing.assert_allclose(out, ref, atol=tol)
+
+
+# ---------------------------------------------------------------------------
+# fused encode + density-MLP kernel
+# ---------------------------------------------------------------------------
+
+
+def _mlp_ws(cfg, hidden, out, key=7):
+    k = jax.random.PRNGKey(key)
+    d = cfg.out_dim
+    w0 = jax.random.normal(jax.random.fold_in(k, 0), (d, hidden)) * 0.1
+    b0 = jax.random.normal(jax.random.fold_in(k, 1), (hidden,)) * 0.05
+    w1 = jax.random.normal(jax.random.fold_in(k, 2), (hidden, out)) * 0.1
+    b1 = jax.random.normal(jax.random.fold_in(k, 3), (out,)) * 0.05
+    return ((w0, b0), (w1, b1))
+
+
+@pytest.mark.parametrize(
+    "name,hidden,out",
+    [("proposal", 16, 1), ("prop256", 16, 1), ("final", 64, 16)],
+)
+def test_fused_density_mlp_parity(name, hidden, out, monkeypatch):
+    """Fused encode+MLP kernel vs the pure-XLA reference (all three
+    production schedules: all-small, small+one-large, small+4-large)."""
+    import signerf_tpu.ops.factor_grid as fg
+
+    cfg = CONFIGS[name]
+    lines = make_lines(cfg)
+    ws = _mlp_ws(cfg, hidden, out)
+    x = jax.random.uniform(jax.random.PRNGKey(9), (257, 3))  # non-multiple N
+    ref = np.asarray(fg.density_mlp_reference(cfg, lines, ws, x))
+    monkeypatch.setattr(fg, "use_fused_kernel", lambda: True)
+    got = np.asarray(fg.fused_density_mlp(cfg, lines, ws, x))
+    assert got.shape == ref.shape == (257, out)
+    tol = 0.02 * max(float(np.abs(ref).max()), 1e-3)
+    np.testing.assert_allclose(got, ref, atol=tol)
+
+
+@pytest.mark.parametrize("name", ["proposal", "final"])
+@pytest.mark.slow
+def test_fused_density_mlp_backward(name, monkeypatch):
+    """custom_vjp backward (encode recompute + XLA MLP vjp + encode bwd
+    kernel) vs jax.vjp of the XLA reference, same cotangent."""
+    import signerf_tpu.ops.factor_grid as fg
+
+    cfg = CONFIGS[name]
+    hidden, out = (16, 1) if name == "proposal" else (64, 16)
+    lines = make_lines(cfg)
+    ws = _mlp_ws(cfg, hidden, out)
+    x = jax.random.uniform(jax.random.PRNGKey(10), (64, 3))
+    g = jax.random.normal(jax.random.PRNGKey(11), (64, out))
+
+    monkeypatch.setattr(fg, "use_fused_kernel", lambda: True)
+    _, vjp_fused = jax.vjp(
+        lambda l, w, xx: fg.fused_density_mlp(cfg, l, w, xx), lines, ws, x
+    )
+    gl_p, gw_p, gx_p = vjp_fused(g)
+    monkeypatch.setattr(fg, "use_fused_kernel", lambda: False)
+    ffp.FORCE_INTERPRET = False
+    try:
+        _, vjp_ref = jax.vjp(
+            lambda l, w, xx: fg.density_mlp_reference(cfg, l, w, xx),
+            lines,
+            ws,
+            x,
+        )
+        gl_r, gw_r, gx_r = vjp_ref(g)
+    finally:
+        ffp.FORCE_INTERPRET = True
+    # Both paths share the bf16-GEMM contract but round at different points
+    # (kernel: f32 level-products, bf16 head; reference: bf16 level features)
+    # — norm-relative ~4e-2 on the deepest (final, 16-out) chain is bf16
+    # noise, same scale the encode-backward test tolerates per leaf.
+    for tree_p, tree_r in [(gl_p, gl_r), (gw_p, gw_r), (gx_p, gx_r)]:
+        for a, b in zip(
+            jax.tree_util.tree_leaves(tree_p), jax.tree_util.tree_leaves(tree_r)
+        ):
+            a, b = np.asarray(a), np.asarray(b)
+            assert a.shape == b.shape
+            rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-6)
+            assert rel < 0.06, rel
+
+
+def test_density_field_modules_use_fused_path(monkeypatch):
+    """HashMLPDensityField and NerfactoField.density route through the fused
+    kernel when the gate is open, produce the same param tree as the XLA
+    path, and match its outputs."""
+    import signerf_tpu.ops.factor_grid as fg
+    from signerf_tpu.models.fields import HashMLPDensityField, NerfactoField
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (33, 3)) * 2 - 1
+    prop = HashMLPDensityField(max_res=128, num_levels=5)
+    params = prop.init(jax.random.PRNGKey(1), x)
+    ref = np.asarray(prop.apply(params, x))  # CPU gate closed -> XLA path
+    monkeypatch.setattr(fg, "use_fused_kernel", lambda: True)
+    params_fused = prop.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_fused
+    )
+    got = np.asarray(prop.apply(params, x))
+    rel = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
+    assert rel < 0.02
+
+    field = NerfactoField(num_images=2)
+    dirs = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    monkeypatch.setattr(fg, "use_fused_kernel", lambda: False)
+    pf = field.init(
+        jax.random.PRNGKey(2), x[:, None, :], dirs, jnp.zeros((33,), jnp.int32), False
+    )
+    d_ref, geo_ref = field.apply(pf, x[:, None, :], method="density")
+    monkeypatch.setattr(fg, "use_fused_kernel", lambda: True)
+    d_fu, geo_fu = field.apply(pf, x[:, None, :], method="density")
+    for a, b in [(d_fu, d_ref), (geo_fu, geo_ref)]:
+        a, b = np.asarray(a), np.asarray(b)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-6)
+        assert rel < 0.02
