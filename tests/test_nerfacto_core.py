@@ -282,3 +282,31 @@ class TestLosses:
         # single-interval mass: inter term 0, intra = w^2 * width / 3
         expected = 1.0 * (1 / 8) / 3
         np.testing.assert_allclose(float(L.distortion_loss(w, rs)), expected, rtol=1e-5)
+
+
+class TestFusedDensityModelPath:
+    """Model-level routing through the fused encode+density-MLP kernel
+    (interpret mode): the full NerfactoModel forward must match the XLA
+    path and keep an identical param tree (checkpoint interchange)."""
+
+    def test_model_forward_matches_xla_path(self, monkeypatch):
+        import signerf_tpu.ops.factor_grid as fg
+        from signerf_tpu.ops import fused_factor_pallas as ffp
+
+        model = NerfactoModel(tiny_config(), num_train_images=2)
+        params = model.init(jax.random.PRNGKey(0))
+        bundle = make_bundle(4)
+        out_ref = model.apply(params, bundle, train=False)
+
+        monkeypatch.setattr(ffp, "FORCE_INTERPRET", True)
+        monkeypatch.setattr(fg, "use_fused_kernel", lambda: True)
+        params_fused = model.init(jax.random.PRNGKey(0))
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+            params_fused
+        )
+        out_fused = model.apply(params, bundle, train=False)
+        for key in ("rgb", "depth", "accumulation"):
+            a = np.asarray(out_fused[key])
+            b = np.asarray(out_ref[key])
+            rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-6)
+            assert rel < 0.05, (key, rel)
