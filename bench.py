@@ -154,6 +154,22 @@ def main():
         mxu_util(fl.train_per_ray, train_rays, V5E_PEAK_BF16_FLOPS), 2
     )
 
+    extras = {
+        "render_mxu_util_pct": render_mxu,
+        "render_mflop_per_ray": round(fl.render_per_ray / 1e6, 2),
+        "train_rays_per_sec_per_chip": round(train_rays, 1),
+        "train_mxu_util_pct": train_mxu,
+        "train_mflop_per_ray": round(fl.train_per_ray / 1e6, 2),
+        "sdxl_denoise_step_mxu_pct": 54.0,  # measured r1, README
+    }
+    # Per-stage render attribution, measured on the real chip by
+    # `scripts/profile_render.py --json RENDER_BREAKDOWN.json` (committed
+    # artifact; re-run the profiler after kernel changes to refresh it).
+    bd_path = os.path.join(os.path.dirname(__file__), "RENDER_BREAKDOWN.json")
+    if os.path.exists(bd_path):
+        with open(bd_path) as f:
+            extras["render_stage_breakdown"] = json.load(f)
+
     print(
         json.dumps(
             {
@@ -161,14 +177,7 @@ def main():
                 "value": round(per_chip, 1),
                 "unit": "rays/s/chip",
                 "vs_baseline": round(per_chip / BASELINE_RAYS_PER_SEC, 3),
-                "extras": {
-                    "render_mxu_util_pct": render_mxu,
-                    "render_mflop_per_ray": round(fl.render_per_ray / 1e6, 2),
-                    "train_rays_per_sec_per_chip": round(train_rays, 1),
-                    "train_mxu_util_pct": train_mxu,
-                    "train_mflop_per_ray": round(fl.train_per_ray / 1e6, 2),
-                    "sdxl_denoise_step_mxu_pct": 54.0,  # measured r1, README
-                },
+                "extras": extras,
             }
         )
     )

@@ -33,10 +33,20 @@ from signerf_tpu.utils.images import save_array_png
 
 N_VIEWS = int(sys.argv[1]) if len(sys.argv) > 1 else 100
 REFINE_STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
-PRETRAIN_STEPS = 2000
+# The reference edits a FULLY-trained nerfacto (30k steps). 2k steps leaves
+# geometry diffuse (accumulation < 0.5 at novel reference views), which
+# breaks the aabb mask: median depth falls back past the selection box and
+# the mask comes out empty (measured: step-2000 ckpt acc max 0.34 -> mask
+# 0.0; step-20000 ckpt acc max 1.0 -> mask 0.11). 8k steps is where the
+# refine log's PSNR plateaued (~38 dB) on this scene. Untimed phase.
+PRETRAIN_STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 8000
 H = W = 1024
 
-ROOT = Path("outputs/north_star")
+# Reduced-scale runs (warm re-measures, CI-ish smoke) get their own tree so
+# they never clobber the headline 100-view artifacts.
+ROOT = Path(
+    "outputs/north_star" if N_VIEWS == 100 else f"outputs/north_star_{N_VIEWS}v"
+)
 ROOT.mkdir(parents=True, exist_ok=True)
 DATA = ROOT / "data"
 
@@ -120,8 +130,17 @@ gen.dataset_name = "edit0"
 gen.rows, gen.cols = 3, 3  # 3x3 sheet (paper scale), 8 reference views
 gen.downscale_factor = 2  # 512px cells -> 1536px padded sheet
 gen.masking_mode = "aabb"
-gen.aabb_min = (-0.5, -0.5, -0.5)
-gen.aabb_max = (0.5, 0.5, 0.5)
+# The aabb must contain VISIBLE scene surface: the mask is
+# `near < rendered_depth < far` along each ray (reference semantics,
+# editing/conditions.py:119-123), so a box buried inside the opaque unit
+# sphere produces an empty mask. WORLD box below clips the sphere's top
+# cap (z >= 0.6); it is converted to the dataparser's auto-oriented/scaled
+# SCENE space after trainer.setup() (the generator, like the reference's
+# viewer-driven selection, works in scene coordinates).
+AABB_WORLD_MIN = np.array([-0.65, -0.65, 0.6], np.float32)
+AABB_WORLD_MAX = np.array([0.65, 0.65, 1.05], np.float32)
+gen.aabb_min = tuple(AABB_WORLD_MIN)  # placeholder; rewritten post-setup
+gen.aabb_max = tuple(AABB_WORLD_MAX)
 # Serial per-view generation: K=1 einsum-attention programs beat one K>1
 # flash batch at sheet scale (sdxl_pipeline serial-views gate), and the
 # device-resident diffuse path pipelines render(i+1) under diffusion(i).
@@ -145,9 +164,43 @@ trainer.train()
 phases["pretrain_2k"] = time.time() - t0
 print(f"pretrain {PRETRAIN_STEPS} steps: {phases['pretrain_2k']:.0f}s", flush=True)
 
+# --- world -> scene mapping (the dataparser auto-orients/centers/scales
+# poses, nerfstudio semantics; the generator's AABB and reference poses are
+# scene-space quantities, like the reference's viewer-set selection) ---
+dpo = trainer.pipeline.datamanager.outputs
+T_ds = np.asarray(dpo.dataparser_transform, np.float32)  # [3, 4]
+s_ds = float(dpo.dataparser_scale)
+
+corners = np.array(
+    [
+        [
+            [AABB_WORLD_MIN, AABB_WORLD_MAX][i][0],
+            [AABB_WORLD_MIN, AABB_WORLD_MAX][j][1],
+            [AABB_WORLD_MIN, AABB_WORLD_MAX][k][2],
+        ]
+        for i in range(2)
+        for j in range(2)
+        for k in range(2)
+    ],
+    np.float32,
+)
+corners_scene = s_ds * (corners @ T_ds[:, :3].T + T_ds[:, 3])
+gen.aabb_min = tuple(float(v) for v in corners_scene.min(axis=0))
+gen.aabb_max = tuple(float(v) for v in corners_scene.max(axis=0))
+print(f"scene-space edit AABB: {gen.aabb_min} .. {gen.aabb_max}", flush=True)
+
+
+def world_to_scene_poses(c2w: np.ndarray) -> np.ndarray:
+    rot = np.einsum("ij,njk->nik", T_ds[:, :3], c2w[:, :3, :3])
+    t = s_ds * (c2w[:, :3, 3] @ T_ds[:, :3].T + T_ds[:, 3])
+    return np.concatenate([rot, t[..., None]], axis=-1)
+
+
 # --- timed edit pass: generation ---
 trainer.step = 0
-ref = np.asarray(circle_poses(8, radius=3.0, theta=55.0, phi=(0.0, 315.0)))[:, :3]
+ref = world_to_scene_poses(
+    np.asarray(circle_poses(8, radius=3.0, theta=55.0, phi=(0.0, 315.0)))[:, :3]
+)
 t0 = time.time()
 generated = trainer.generate_dataset(reference_camera_to_worlds=ref)
 phases["generation"] = time.time() - t0
@@ -162,6 +215,22 @@ print(
     f"{warm_marginal if warm_marginal is not None else float('nan'):.1f}s)",
     flush=True,
 )
+
+# --- warm sheet re-measure: the first sheet pays one-time compiles for the
+# 1536px inpaint program (~36 min cold over the dev tunnel, persisted to the
+# XLA compile cache); a second in-process call times the steady-state
+# device compute, which is what a warm deployment (and the v5e-8
+# projection) actually pays. ---
+gen_obj = trainer.pipeline.dataset_generator
+t0 = time.time()
+*_, warm_refs = gen_obj.generate_reference_sheet(
+    gen_obj._cameras_from_poses(ref)
+)
+# Force device completion: over the axon tunnel only a device->host fetch
+# waits for execution (block_until_ready returns early — verify skill note).
+float(np.asarray(warm_refs[-1]["edited"]).sum())
+sheet_warm_s = time.time() - t0
+print(f"warm sheet re-measure (steady-state): {sheet_warm_s:.1f}s", flush=True)
 
 # --- timed edit pass: exchange + refinement ---
 t0 = time.time()
@@ -253,8 +322,7 @@ print(
 # (not parallelizable over views), per-view work is DP over views at the
 # measured warm marginal, refinement is DP over rays (conservative /6).
 proj_gen_s = (
-    timings.get("sheet_s", 0.0)
-    + (warm_marginal or 0.0) * int(np.ceil(N_VIEWS / 8))
+    sheet_warm_s + (warm_marginal or 0.0) * int(np.ceil(N_VIEWS / 8))
     if warm_marginal is not None
     else phases["generation"] / 8
 )
@@ -266,6 +334,14 @@ result = {
     "edit_pass_s": round(edit_pass, 1),
     "edit_pass_min": round(edit_pass / 60, 1),
     "sheet_s": round(timings.get("sheet_s", 0.0), 1),
+    "sheet_warm_s": round(sheet_warm_s, 1),
+    "refine_rays_per_s": int(
+        REFINE_STEPS
+        * cfg.pipeline.datamanager.train_num_rays_per_batch
+        / max(phases["refine"], 1e-9)
+    )
+    if hasattr(cfg.pipeline.datamanager, "train_num_rays_per_batch")
+    else None,
     "warm_per_view_marginal_s": (
         None if warm_marginal is None else round(warm_marginal, 2)
     ),

@@ -9,7 +9,10 @@ fetch. Per-op time = (t_K2 - t_K1) / (K2 - K1), which cancels RTT + transfer.
 
 from __future__ import annotations
 
+import json
 import os
+import subprocess
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
@@ -17,6 +20,15 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 import jax
 import jax.numpy as jnp
 from functools import partial
+
+# Collected (label -> milliseconds) for the optional --json artifact; bench.py
+# attaches the artifact to its extras as `render_stage_breakdown` so the
+# recorded BENCH_r{N}.json always carries the latest measured attribution.
+RESULTS: dict = {"stages_ms": {}}
+
+
+def record(label: str, ms: float) -> None:
+    RESULTS["stages_ms"][label] = round(ms, 3)
 
 
 def scan_time(make_step, K1=2, K2=10, repeats=3):
@@ -72,6 +84,8 @@ def main():
 
     t = scan_time(render_step)
     print(f"full render chunk ({chunk} rays): {t*1e3:.2f} ms -> {chunk/t:,.0f} rays/s")
+    record("full_render_chunk_8192_rays", t * 1e3)
+    RESULTS["rays_per_s"] = round(chunk / t, 1)
 
     # encoding only, final-sampler density count
     n_samples = cfg.num_nerf_samples_per_ray
@@ -87,6 +101,7 @@ def main():
         return jnp.sum(enc.apply(enc_params, x)) * 1e-9
 
     t_enc = scan_time(enc_step)
+    record("final_field_encode", t_enc * 1e3)
     print(
         f"factor encode [{N}]: {t_enc*1e3:.2f} ms -> {N/t_enc/1e6:.1f} M samp/s"
         f"  ({t_enc/t*100 if t else 0:.0f}% of chunk)"
@@ -105,6 +120,7 @@ def main():
             return jnp.sum(_prop.apply(_pp, _pos + c * 1e-9)) * 1e-9
 
         t_p = scan_time(prop_step)
+        record(f"proposal{i}_field_fused_encode_density", t_p * 1e3)
         print(f"proposal[{i}] field [{Np}] max_res {mres}: {t_p*1e3:.2f} ms")
 
     # field MLPs at final N (base+head proxy)
@@ -119,6 +135,7 @@ def main():
         return jnp.sum(h.astype(jnp.float32)) * 1e-9
 
     t_mlp = scan_time(mlp_step)
+    record("mlp_5layer_64wide", t_mlp * 1e3)
     print(f"5-layer 64-wide MLP [{N}]: {t_mlp*1e3:.2f} ms")
 
     # ---- sampling machinery (the non-MXU remainder) -------------------
@@ -156,6 +173,7 @@ def main():
         return jnp.sum(s.positions) * 1e-12
 
     t_sampling = scan_time(sampling_only_step)
+    record("sampling_machinery_free_densities", t_sampling * 1e3)
     print(
         f"sampling machinery (prop chain, free densities): "
         f"{t_sampling*1e3:.2f} ms ({t_sampling/t*100:.0f}% of chunk)"
@@ -174,6 +192,7 @@ def main():
             return jnp.sum(nb) * 1e-9
 
         t_pdf = scan_time(pdf_step)
+        record(f"pdf_resample_{S_from}_to_{Q_to}", t_pdf * 1e3)
         print(f"pdf resample [{chunk}x{S_from}->{Q_to}]: {t_pdf*1e3:.2f} ms")
 
     def b2s_step(c):
@@ -182,6 +201,7 @@ def main():
         return jnp.sum(s.positions) * 1e-12
 
     t_b2s = scan_time(b2s_step)
+    record("bins_to_ray_samples_positions", t_b2s * 1e3)
     print(f"bins_to_ray_samples+positions [{chunk}x{cfg.num_proposal_samples_per_ray[0]}]: {t_b2s*1e3:.2f} ms")
 
     from signerf_tpu.ops.contraction import contract
@@ -192,8 +212,33 @@ def main():
         return jnp.sum(contract(pos_c0 + c * 1e-9)) * 1e-9
 
     t_con = scan_time(contract_step)
+    record("contraction", t_con * 1e3)
     print(f"contraction [{chunk*cfg.num_proposal_samples_per_ray[0]}]: {t_con*1e3:.2f} ms")
+
+
+def write_json(path: str) -> None:
+    try:
+        RESULTS["commit"] = (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ).stdout.strip()
+        )
+    except Exception:
+        RESULTS["commit"] = "unknown"
+    RESULTS["note"] = (
+        "ms per 8192-ray render chunk, measured on the real chip by "
+        "scripts/profile_render.py (scan-K differencing; values under ~1 ms "
+        "are within tunnel timing noise)"
+    )
+    with open(path, "w") as f:
+        json.dump(RESULTS, f, indent=2)
+    print(f"wrote {path}")
 
 
 if __name__ == "__main__":
     main()
+    if "--json" in sys.argv:
+        write_json(sys.argv[sys.argv.index("--json") + 1])
