@@ -40,6 +40,12 @@ REFINE_STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
 # 0.0; step-20000 ckpt acc max 1.0 -> mask 0.11). 8k steps is where the
 # refine log's PSNR plateaued (~38 dB) on this scene. Untimed phase.
 PRETRAIN_STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 8000
+# Optional 4th arg: a checkpoint dir holding a pre-trained nerfacto on this
+# scene. This is the reference's actual contract — `ns-train signerf
+# --load_dir {checkpoint}` edits an EXISTING nerfacto
+# (/root/reference/README.md:150-156) — so with a load dir the pretrain
+# stand-in is skipped entirely.
+LOAD_DIR = Path(sys.argv[4]) if len(sys.argv) > 4 else None
 H = W = 1024
 
 # Reduced-scale runs (warm re-measures, CI-ish smoke) get their own tree so
@@ -151,6 +157,9 @@ gen.diffuser.prompt = "a stone sphere"
 
 phases = {}
 
+if LOAD_DIR is not None:
+    cfg.load_dir = LOAD_DIR
+
 t0 = time.time()
 trainer = SIGNeRFTrainer(cfg)
 trainer.setup()
@@ -158,11 +167,16 @@ phases["setup"] = time.time() - t0
 print(f"setup: {phases['setup']:.0f}s", flush=True)
 
 # --- pretrain (stands in for the pre-existing nerfacto checkpoint; NOT part
-# of the reference's timed edit pass) ---
+# of the reference's timed edit pass). Skipped when a trained checkpoint was
+# loaded via LOAD_DIR (reference contract: edit an existing nerfacto). ---
 t0 = time.time()
-trainer.train()
-phases["pretrain_2k"] = time.time() - t0
-print(f"pretrain {PRETRAIN_STEPS} steps: {phases['pretrain_2k']:.0f}s", flush=True)
+if LOAD_DIR is None:
+    trainer.train()
+    phases["pretrain"] = time.time() - t0
+    print(f"pretrain {PRETRAIN_STEPS} steps: {phases['pretrain']:.0f}s", flush=True)
+else:
+    phases["pretrain"] = 0.0
+    print(f"pretrain skipped (loaded checkpoint from {LOAD_DIR})", flush=True)
 
 # --- world -> scene mapping (the dataparser auto-orients/centers/scales
 # poses, nerfstudio semantics; the generator's AABB and reference poses are
