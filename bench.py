@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
@@ -168,7 +169,29 @@ def main():
     bd_path = os.path.join(os.path.dirname(__file__), "RENDER_BREAKDOWN.json")
     if os.path.exists(bd_path):
         with open(bd_path) as f:
-            extras["render_stage_breakdown"] = json.load(f)
+            breakdown = json.load(f)
+        # A breakdown profiled at an older kernel revision must not be
+        # published as if it were current — mark it stale when its recorded
+        # commit differs from HEAD.
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True,
+                text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=10,
+            ).stdout.strip()
+        except Exception:
+            head = ""
+        bd_commit = str(breakdown.get("commit", "unknown"))
+        if head and not (
+            bd_commit.startswith(head) or head.startswith(bd_commit)
+        ):
+            breakdown["stale"] = (
+                f"profiled at {bd_commit}, bench ran at {head} — re-run "
+                "scripts/profile_render.py --json RENDER_BREAKDOWN.json"
+            )
+        extras["render_stage_breakdown"] = breakdown
 
     print(
         json.dumps(

@@ -340,10 +340,26 @@ proj_gen_s = (
     if warm_marginal is not None
     else phases["generation"] / 8
 )
-proj_total_s = proj_gen_s + phases["exchange"] + phases["refine"] / 6
+REFINE_DP_DIVISOR = 6.0
+proj_total_s = proj_gen_s + phases["exchange"] + phases["refine"] / REFINE_DP_DIVISOR
+try:
+    import subprocess
+
+    commit = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True, timeout=10,
+    ).stdout.strip()
+except Exception:
+    commit = "unknown"
 result = {
+    "script": f"examples/north_star_pass.py {' '.join(sys.argv[1:])}",
+    "commit": commit,
+    "date": time.strftime("%Y-%m-%d"),
+    "hardware": "1x TPU v5e chip (axon dev tunnel)",
     "n_views": N_VIEWS,
     "refine_steps": REFINE_STEPS,
+    "pretrain_steps": 0 if LOAD_DIR is not None else PRETRAIN_STEPS,
+    "loaded_checkpoint": str(LOAD_DIR) if LOAD_DIR is not None else None,
     "phases_s": {k: round(v, 1) for k, v in phases.items()},
     "edit_pass_s": round(edit_pass, 1),
     "edit_pass_min": round(edit_pass / 60, 1),
@@ -361,10 +377,31 @@ result = {
     ),
     "view_s_first": round(view_s[0], 1) if view_s else None,
     "eval_psnr_db": round(float(np.mean(psnrs)), 2),
+    "edit_mask_coverage": round(float(mask0.mean()), 4),
     "edit_landing_masked_delta": round(masked_delta, 4),
     "edit_landing_unmasked_delta": round(unmasked_delta, 4),
+    "edit_landing_ratio": round(masked_delta / max(unmasked_delta, 1e-9), 2),
     "v5e8_projection_min": round(proj_total_s / 60, 1),
     "v5e8_projection_generation_s": round(proj_gen_s, 1),
+    # The projection is a MODEL over measured single-chip terms, not an
+    # 8-chip measurement (one chip available in this env). Assumptions:
+    # per-view work scales linearly DP over views (never measured at K=8 —
+    # an UPPER BOUND on multi-chip throughput; K>1 batching measured slower
+    # per view on ONE chip, but 8-way DP puts one view per chip, which is
+    # exactly the measured K=1 program), and refinement DP over rays gets a
+    # conservative /6 (not /8) speedup at fixed global batch.
+    "v5e8_projection_inputs": {
+        "sheet_warm_s": round(sheet_warm_s, 1),
+        "warm_per_view_marginal_s": (
+            None if warm_marginal is None else round(warm_marginal, 2)
+        ),
+        "n_view_chunks": int(np.ceil(N_VIEWS / 8)),
+        "exchange_s": round(phases["exchange"], 1),
+        "refine_s": round(phases["refine"], 1),
+        "refine_dp_divisor": REFINE_DP_DIVISOR,
+        "formula": "sheet_warm + marginal*ceil(N/8) + exchange + refine/divisor",
+        "status": "unmeasured upper bound (single-chip terms, linear-DP model)",
+    },
 }
 print(json.dumps(result), flush=True)
 (ROOT / "north_star_result.json").write_text(json.dumps(result, indent=2))

@@ -239,6 +239,14 @@ def write_json(path: str) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    # Validate --json BEFORE the (slow, on-chip) profile runs so a missing
+    # path fails fast instead of dropping the results at the very end.
+    json_path = None
     if "--json" in sys.argv:
-        write_json(sys.argv[sys.argv.index("--json") + 1])
+        idx = sys.argv.index("--json")
+        if idx + 1 >= len(sys.argv) or sys.argv[idx + 1].startswith("--"):
+            sys.exit("usage: profile_render.py [--json OUTPUT_PATH]")
+        json_path = sys.argv[idx + 1]
+    main()
+    if json_path is not None:
+        write_json(json_path)

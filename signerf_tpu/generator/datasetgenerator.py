@@ -121,13 +121,20 @@ class DatasetGenerator:
         transform_poses_to_original_space: Callable[[np.ndarray], np.ndarray],
         render_fn: RenderFn,
         diffuser: Optional[Diffuser] = None,
+        mesh=None,
     ):
+        """`mesh` (jax.sharding.Mesh, optional) is forwarded to the default
+        Diffuser when no `diffuser` is supplied, so scripts that construct a
+        DatasetGenerator directly — bypassing SIGNeRFPipeline — get the same
+        TP/DP sheet-inpaint sharding instead of silently dropping to
+        single-device diffusion. (Not to be confused with the proxy
+        *triangle* mesh `self._mesh` below.)"""
         self.config = config
         self.original_transform_matrix = np.asarray(original_transform_matrix)
         self.original_scale_factor = float(original_scale_factor)
         self.transform_poses_to_original_space = transform_poses_to_original_space
         self.render_fn = render_fn
-        self.diffuser = diffuser or Diffuser(config.diffuser)
+        self.diffuser = diffuser or Diffuser(config.diffuser, mesh=mesh)
         self.is_synthetic = False
         self._mesh: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None
         self.dataset_path: Optional[Path] = None

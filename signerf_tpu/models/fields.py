@@ -168,6 +168,10 @@ class NerfactoField(nn.Module):
     encoding_backend: str = "factor"
     factor_features_per_level: int = 16
     factor_num_levels: int = 8
+    # Debug escape hatch: force the unfused XLA encode+MLP path even on TPU
+    # (the fused Pallas path is also skipped automatically for configs the
+    # kernel doesn't support — see ops/factor_grid.fused_density_eligible).
+    use_fused_density: bool = True
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     def setup(self):
@@ -243,12 +247,17 @@ class NerfactoField(nn.Module):
         pos01 = contract_to_unit(positions)
         if self.encoding_backend == "factor":
             from signerf_tpu.ops.factor_grid import (
+                fused_density_eligible,
                 fused_density_mlp,
                 use_fused_kernel,
             )
 
-            if use_fused_kernel():
-                cfg = self.encoding.config
+            cfg = self.encoding.config
+            if (
+                self.use_fused_density
+                and fused_density_eligible(cfg, self.hidden_dim)
+                and use_fused_kernel()
+            ):
                 ws = self.mlp_base(in_dim=cfg.out_dim, return_weights=True)
                 x = jnp.clip(pos01.reshape(-1, 3), 0.0, 1.0)
                 h = fused_density_mlp(
@@ -485,6 +494,7 @@ class HashMLPDensityField(nn.Module):
     use_linear: bool = False
     encoding_backend: str = "factor"
     factor_features_per_level: int = 8
+    use_fused_density: bool = True  # debug escape hatch, see NerfactoField
     compute_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
@@ -494,6 +504,7 @@ class HashMLPDensityField(nn.Module):
             from signerf_tpu.ops.factor_grid import (
                 FactorGridConfig,
                 FactorGridEncoding,
+                fused_density_eligible,
                 fused_density_mlp,
                 use_fused_kernel,
             )
@@ -505,7 +516,12 @@ class HashMLPDensityField(nn.Module):
                 features_per_level=self.factor_features_per_level,
             )
             enc = FactorGridEncoding(cfg)
-            if not self.use_linear and use_fused_kernel():
+            if (
+                not self.use_linear
+                and self.use_fused_density
+                and fused_density_eligible(cfg, self.hidden_dim)
+                and use_fused_kernel()
+            ):
                 # Fused encode+MLP kernel: density logits come straight out
                 # of VMEM ([N, 1] instead of an [N, D] f32 feature matrix +
                 # transpose + XLA MLP — the proposal fields evaluate 256

@@ -64,6 +64,10 @@ class NerfactoModelConfig:
     # "hash" (instant-ngp parity; gather-bound on TPU) — see
     # ops/factor_grid.py for the measured rationale.
     encoding_backend: str = "factor"
+    # Debug escape hatch: False forces the unfused XLA encode+MLP path on
+    # TPU (the fused Pallas density kernel is also skipped automatically
+    # for configs it doesn't support — fused_density_eligible).
+    use_fused_density: bool = True
     num_proposal_samples_per_ray: Tuple[int, ...] = (256, 96)
     num_nerf_samples_per_ray: int = 48
     proposal_update_every: int = 5
@@ -119,6 +123,7 @@ class NerfactoModel:
             predict_normals=config.predict_normals,
             average_init_density=config.average_init_density,
             encoding_backend=config.encoding_backend,
+            use_fused_density=config.use_fused_density,
         )
         self.proposal_fields = []
         n_props = config.num_proposal_iterations
@@ -136,6 +141,7 @@ class NerfactoModel:
                     hidden_dim=args.hidden_dim,
                     use_linear=args.use_linear,
                     encoding_backend=config.encoding_backend,
+                    use_fused_density=config.use_fused_density,
                 )
             )
 

@@ -176,6 +176,20 @@ def _encode_fused_bwd(cfg, residuals, g):
 _encode_fused.defvjp(_encode_fused_fwd, _encode_fused_bwd)
 
 
+def fused_density_eligible(
+    cfg: "FactorGridConfig", hidden_dim: int, num_layers: int = 2
+) -> bool:
+    """Whether `fused_density_mlp` supports this (encoding, MLP) config.
+
+    Mirrors the fused kernel's hard preconditions (2-layer MLP contract of
+    `mlp2_reference`, the `hidden % 8 == 0` sublane assert in
+    `fused_factor_pallas.fused_factor_density_tpu`, and line-only tables) so
+    callers can fall back to the XLA encode+MLP path at the config site —
+    instead of a valid non-default config working on CPU but failing deep
+    inside the jitted kernel wrapper on TPU."""
+    return num_layers == 2 and hidden_dim % 8 == 0 and not cfg.include_planes
+
+
 def use_fused_kernel() -> bool:
     """Fused Pallas encode runs on real TPU backends (incl. the axon tunnel,
     which reports backend "axon" but compiles Mosaic TPU kernels); anything

@@ -13,9 +13,11 @@ Design notes (TPU-first):
   * Dense-indexing vs. hashing per level is decided *statically* (resolutions
     are Python ints), so there is no data-dependent control flow under jit.
   * Hashing uses uint32 wraparound multiplies with the instant-ngp primes.
-  * A Pallas kernel variant exists for the forward gather on larger batches;
-    see `signerf_tpu/ops/pallas/hashgrid_kernel.py`. The jnp path is the
-    reference implementation and the autodiff path.
+  * This jnp path is both the reference implementation and the autodiff
+    path. The TPU-fast spatial encoding is the factorized grid
+    (`ops/factor_grid.py` + the Pallas kernels in
+    `ops/fused_factor_pallas.py`); hash lookups stay gather-bound on TPU,
+    which is why "factor" is the default backend.
 """
 
 from __future__ import annotations

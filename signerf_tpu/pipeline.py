@@ -91,6 +91,7 @@ class SIGNeRFPipeline:
             transform_poses_to_original_space=outputs.transform_poses_to_original_space,
             render_fn=self.render_camera_fn,
             diffuser=diffuser,
+            mesh=mesh,
         )
         # intrinsics backfill (parity: signerf_pipeline.py:60-88)
         self.dataset_generator.backfill_intrinsics(self.datamanager.cameras)

@@ -218,6 +218,7 @@ def test_fused_density_mlp_backward(name, monkeypatch):
     )
     gl_p, gw_p, gx_p = vjp_fused(g)
     monkeypatch.setattr(fg, "use_fused_kernel", lambda: False)
+    saved_force_interpret = ffp.FORCE_INTERPRET
     ffp.FORCE_INTERPRET = False
     try:
         _, vjp_ref = jax.vjp(
@@ -228,7 +229,7 @@ def test_fused_density_mlp_backward(name, monkeypatch):
         )
         gl_r, gw_r, gx_r = vjp_ref(g)
     finally:
-        ffp.FORCE_INTERPRET = True
+        ffp.FORCE_INTERPRET = saved_force_interpret
     # Both paths share the bf16-GEMM contract but round at different points
     # (kernel: f32 level-products, bf16 head; reference: bf16 level features)
     # — norm-relative ~4e-2 on the deepest (final, 16-out) chain is bf16
