@@ -163,35 +163,43 @@ def main():
         "train_mflop_per_ray": round(fl.train_per_ray / 1e6, 2),
         "sdxl_denoise_step_mxu_pct": 54.0,  # measured r1, README
     }
-    # Per-stage render attribution, measured on the real chip by
-    # `scripts/profile_render.py --json RENDER_BREAKDOWN.json` (committed
-    # artifact; re-run the profiler after kernel changes to refresh it).
-    bd_path = os.path.join(os.path.dirname(__file__), "RENDER_BREAKDOWN.json")
-    if os.path.exists(bd_path):
+    # Per-stage attribution, measured on the real chip by
+    # `scripts/profile_render.py --json RENDER_BREAKDOWN.json` and
+    # `scripts/profile_train.py --json TRAIN_BREAKDOWN.json` (committed
+    # artifacts; re-run the profilers after kernel changes to refresh them).
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            timeout=10,
+        ).stdout.strip()
+    except Exception:
+        head = ""
+    for fname, extras_key, refresh_cmd in [
+        ("RENDER_BREAKDOWN.json", "render_stage_breakdown",
+         "scripts/profile_render.py --json RENDER_BREAKDOWN.json"),
+        ("TRAIN_BREAKDOWN.json", "train_stage_breakdown",
+         "scripts/profile_train.py --json TRAIN_BREAKDOWN.json"),
+    ]:
+        bd_path = os.path.join(os.path.dirname(__file__), fname)
+        if not os.path.exists(bd_path):
+            continue
         with open(bd_path) as f:
             breakdown = json.load(f)
         # A breakdown profiled at an older kernel revision must not be
         # published as if it were current — mark it stale when its recorded
         # commit differs from HEAD.
-        try:
-            head = subprocess.run(
-                ["git", "rev-parse", "--short", "HEAD"],
-                capture_output=True,
-                text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-                timeout=10,
-            ).stdout.strip()
-        except Exception:
-            head = ""
         bd_commit = str(breakdown.get("commit", "unknown"))
         if head and not (
             bd_commit.startswith(head) or head.startswith(bd_commit)
         ):
             breakdown["stale"] = (
                 f"profiled at {bd_commit}, bench ran at {head} — re-run "
-                "scripts/profile_render.py --json RENDER_BREAKDOWN.json"
+                f"{refresh_cmd}"
             )
-        extras["render_stage_breakdown"] = breakdown
+        extras[extras_key] = breakdown
 
     print(
         json.dumps(

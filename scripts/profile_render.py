@@ -19,7 +19,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import jax
 import jax.numpy as jnp
-from functools import partial
+
+from signerf_tpu.utils.microbench import scan_time
 
 # Collected (label -> milliseconds) for the optional --json artifact; bench.py
 # attaches the artifact to its extras as `render_stage_breakdown` so the
@@ -29,30 +30,6 @@ RESULTS: dict = {"stages_ms": {}}
 
 def record(label: str, ms: float) -> None:
     RESULTS["stages_ms"][label] = round(ms, 3)
-
-
-def scan_time(make_step, K1=2, K2=10, repeats=3):
-    """make_step(carry_scalar) -> scalar; returns seconds per step."""
-
-    def run(K):
-        @jax.jit
-        def f(c0):
-            def body(c, _):
-                return make_step(c), None
-
-            c, _ = jax.lax.scan(body, c0, None, length=K)
-            return c
-
-        v = float(f(jnp.float32(0.01)))  # compile + run
-        ts = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            v = float(f(jnp.float32(0.01 + v * 1e-20)))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    tA, tB = run(K1), run(K2)
-    return (tB - tA) / (K2 - K1)
 
 
 def main():

@@ -426,16 +426,14 @@ def density_mlp_reference(cfg: FactorGridConfig, lines, ws, x01) -> jnp.ndarray:
 def fused_density_mlp(cfg: FactorGridConfig, lines, ws, x01) -> jnp.ndarray:
     """Encode + 2-layer MLP in one pass: [N, 3] pos01 -> [N, O] f32.
 
-    On TPU backends the forward is ONE Pallas kernel
-    (`fused_factor_density_tpu`) that never materializes the [N, D] feature
-    matrix in HBM — the tiny-cuda-nn fully-fused capability the reference
-    rides (SURVEY.md §2b row 1). The backward recomputes features with the
-    fused encode kernel, takes the MLP vjp in XLA (small GEMMs) and routes
-    table/coordinate grads through the analytic encode backward kernel —
-    so training cost matches the unfused path while forward-only consumers
-    (render/eval, proposal evaluation under stop-grad sampling) skip the
-    feature round-trip entirely. Off-TPU both passes use the XLA reference
-    expression."""
+    On TPU backends BOTH passes are fully-fused Pallas kernels that never
+    materialize the [N, D] feature matrix (or its cotangent) in HBM — the
+    tiny-cuda-nn fully-fused capability the reference rides (SURVEY.md §2b
+    row 1): forward `fused_factor_density_tpu`; backward
+    `fused_factor_density_bwd_tpu` recomputes features in VMEM per block,
+    takes the 2-layer MLP vjp in VMEM, and routes table/coordinate grads
+    through the proven encode-backward bodies reading the in-VMEM cotangent.
+    Off-TPU both passes use the XLA reference expression."""
     from signerf_tpu.ops import fused_factor_pallas as ffp
 
     if use_fused_kernel() or ffp.FORCE_INTERPRET:
@@ -463,37 +461,35 @@ def _fused_density_mlp_bwd(cfg, residuals, g):
     lines, ws, x01 = residuals
     from signerf_tpu.ops import fused_factor_pallas as ffp
 
-    fused = use_fused_kernel() or ffp.FORCE_INTERPRET
-    if fused:
+    if use_fused_kernel() or ffp.FORCE_INTERPRET:
+        # Fully-fused backward: features and their cotangents stay in VMEM
+        # (ffp.fused_factor_density_bwd_tpu section comment — the unfused
+        # scheme paid four [N, D] f32 HBM round-trips per density field).
         packed = ffp.pack_tables(cfg.resolutions, lines)
-        feats = ffp.fused_factor_encode_tpu(
-            cfg.resolutions,
-            cfg.features_per_level,
-            packed,
-            x01,
-            ffp.FORCE_INTERPRET,
-        )
-    else:
-        feats = _encode_reference(cfg, lines, x01)
-    _, mlp_vjp = jax.vjp(mlp2_reference, feats, ws)
-    g_feats, g_ws = mlp_vjp(g)
-    if fused:
-        grad_packed, grad_x = ffp.fused_factor_encode_bwd_tpu(
-            cfg.resolutions,
-            cfg.features_per_level,
-            packed,
-            x01,
-            g_feats,
-            ffp.FORCE_INTERPRET,
+        (k0, b0), (k1, b1) = ws
+        grad_packed, (gk0, gb0, gk1, gb1), grad_x = (
+            ffp.fused_factor_density_bwd_tpu(
+                cfg.resolutions,
+                cfg.features_per_level,
+                packed,
+                x01,
+                k0,
+                b0,
+                k1,
+                b1,
+                g,
+                ffp.FORCE_INTERPRET,
+            )
         )
         grad_lines = ffp.unpack_table_grads(
             cfg.resolutions, grad_packed, cfg.features_per_level
         )
-    else:
-        _, evjp = jax.vjp(
-            lambda l, x: _encode_reference(cfg, l, x), lines, x01
-        )
-        grad_lines, grad_x = evjp(g_feats)
+        return grad_lines, ((gk0, gb0), (gk1, gb1)), grad_x
+    feats = _encode_reference(cfg, lines, x01)
+    _, mlp_vjp = jax.vjp(mlp2_reference, feats, ws)
+    g_feats, g_ws = mlp_vjp(g)
+    _, evjp = jax.vjp(lambda l, x: _encode_reference(cfg, l, x), lines, x01)
+    grad_lines, grad_x = evjp(g_feats)
     return grad_lines, g_ws, grad_x
 
 

@@ -941,6 +941,67 @@ def fused_factor_grad_bwd_tpu(
 # like flax Dense with dtype=bfloat16.
 
 
+def _encode_feats_block(
+    resolutions: Tuple[int, ...],
+    feat: int,
+    blk: int,
+    coords_ref,
+    scale_ref,
+    offset_ref,
+    smalls,
+    large_refs,
+):
+    """Shared in-VMEM CP encode for one [*, BLK] sample block -> [D, BLK] f32.
+
+    The same level schedule as the standalone encode kernel, as a helper so
+    the fused density forward AND backward kernels recompute features without
+    duplicating the gather structure."""
+    small_res, large_res = _split_levels(resolutions)
+    n_small = len(small_res)
+    parts = []
+    if n_small:
+        p_small = None
+        for ax in range(3):
+            u = coords_ref[ax : ax + 1, :]  # [1, BLK]
+            hat = jnp.maximum(
+                0.0, 1.0 - jnp.abs(scale_ref[:, :] * u - offset_ref[:, :])
+            )
+            f_ax = jax.lax.dot_general(
+                smalls[ax][:, :],
+                hat.astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [n_small*F, BLK]
+            p_small = f_ax if p_small is None else p_small * f_ax
+        parts.append(p_small)
+    for li, res in enumerate(large_res):
+        r1 = _num_blocks(res)
+        r1_pad = _round_up(r1, 8)
+        p_lvl = None
+        for ax in range(3):
+            u = coords_ref[ax : ax + 1, :]
+            blocks = large_refs[li * 3 + ax]  # [9F, r1_pad]
+            xl = u * (res - 1)
+            a = jnp.clip(jnp.floor(xl * (1.0 / TAP_BLOCK)), 0, r1 - 1)
+            x_loc = xl - a * TAP_BLOCK
+            sub = jax.lax.broadcasted_iota(jnp.int32, (r1_pad, blk), 0)
+            onehot = (sub.astype(jnp.float32) == a).astype(jnp.bfloat16)
+            t1 = jax.lax.dot_general(
+                blocks[:, :],
+                onehot,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [9F, BLK]
+            acc = None
+            for c in range(TAP_BLOCK + 1):
+                w = jnp.maximum(0.0, 1.0 - jnp.abs(x_loc - c))
+                term = w * t1[c * feat : (c + 1) * feat, :]
+                acc = term if acc is None else acc + term
+            p_lvl = acc if p_lvl is None else p_lvl * acc
+        parts.append(p_lvl)
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+
 def _make_density_kernel(
     resolutions: Tuple[int, ...], feat: int, blk: int, head_dtype
 ):
@@ -948,55 +1009,15 @@ def _make_density_kernel(
     # mode — XLA:CPU's eager DotThunk can't execute bf16 x bf16 -> f32 for
     # the head's shapes, and interpret runs are parity tests, not perf.
     small_res, large_res = _split_levels(resolutions)
-    n_small = len(small_res)
 
     def kernel(
         coords_ref, scale_ref, offset_ref, w0_ref, b0_ref, w1_ref, b1_ref,
         small_x, small_y, small_z, *large_refs, out_ref
     ):
-        smalls = (small_x, small_y, small_z)
-        parts = []
-        if n_small:
-            p_small = None
-            for ax in range(3):
-                u = coords_ref[ax : ax + 1, :]  # [1, BLK]
-                hat = jnp.maximum(
-                    0.0, 1.0 - jnp.abs(scale_ref[:, :] * u - offset_ref[:, :])
-                )
-                f_ax = jax.lax.dot_general(
-                    smalls[ax][:, :],
-                    hat.astype(jnp.bfloat16),
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [n_small*F, BLK]
-                p_small = f_ax if p_small is None else p_small * f_ax
-            parts.append(p_small)
-        for li, res in enumerate(large_res):
-            r1 = _num_blocks(res)
-            r1_pad = _round_up(r1, 8)
-            p_lvl = None
-            for ax in range(3):
-                u = coords_ref[ax : ax + 1, :]
-                blocks = large_refs[li * 3 + ax]  # [9F, r1_pad]
-                xl = u * (res - 1)
-                a = jnp.clip(jnp.floor(xl * (1.0 / TAP_BLOCK)), 0, r1 - 1)
-                x_loc = xl - a * TAP_BLOCK
-                sub = jax.lax.broadcasted_iota(jnp.int32, (r1_pad, blk), 0)
-                onehot = (sub.astype(jnp.float32) == a).astype(jnp.bfloat16)
-                t1 = jax.lax.dot_general(
-                    blocks[:, :],
-                    onehot,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [9F, BLK]
-                acc = None
-                for c in range(TAP_BLOCK + 1):
-                    w = jnp.maximum(0.0, 1.0 - jnp.abs(x_loc - c))
-                    term = w * t1[c * feat : (c + 1) * feat, :]
-                    acc = term if acc is None else acc + term
-                p_lvl = acc if p_lvl is None else p_lvl * acc
-            parts.append(p_lvl)
-        feats = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+        feats = _encode_feats_block(
+            resolutions, feat, blk, coords_ref, scale_ref, offset_ref,
+            (small_x, small_y, small_z), large_refs,
+        )
         # layer 0: [H, D] @ [D, BLK] (head_dtype in, f32 accum) -> bf16
         # rounding + bias, ReLU — the flax Dense(dtype=bf16) contract.
         h = jax.lax.dot_general(
@@ -1096,3 +1117,245 @@ def fused_factor_density_tpu(
         interpret=interpret,
     )(coords_t, scale_arr, offset_arr, w0t, b0c, w1t, b1c, *smalls, *larges)
     return out_t[:out_dim, :n].T  # [N, O]
+
+
+# ---------------------------------------------------------------------------
+# fused encode + density-MLP BACKWARD kernel
+# ---------------------------------------------------------------------------
+#
+# The unfused backward (factor_grid._fused_density_mlp_bwd before this
+# kernel) paid four [N, D] f32 HBM round-trips per density field per step:
+# the encode-recompute kernel WRITES feats, the XLA MLP vjp READS them and
+# WRITES g_feats, and the two encode-backward kernels each READ g_feats. At
+# the bench train regime (4096 rays x (256+96+48) samples, D=80/80/128)
+# that is ~2.2 GB of pure feature traffic per optimizer step — the
+# tiny-cuda-nn fully-fused *training* capability is precisely not paying it
+# (SURVEY.md §2b row 1).
+#
+# This kernel keeps the whole chain in VMEM per 1024-sample block:
+#   feats   = encode(coords)                     (_encode_feats_block)
+#   h       = relu(w0 @ feats + b0)   [H, BLK]   (transposed Dense contract)
+#   g_h     = (w1^T @ g_o) * 1{h>0}
+#   g_feats = w0^T @ g_h               [D, BLK]  -> VMEM scratch
+#   dw1 += g_o @ h^T, db1 += sum(g_o); dw0 += g_h @ feats^T, db0 += sum(g_h)
+# then feeds the g_feats scratch straight into the PROVEN encode-backward
+# kernel bodies (_make_bwd_kernel "tables"/"coords" read any ref — input or
+# scratch), so the table/coordinate gradient math is byte-identical to the
+# tested standalone backward. Only the [N, D] materializations disappear.
+#
+# Same two-call split as the standalone backward: the coords kernel is a
+# separate pallas_call so XLA dead-code-eliminates it when d/d(positions)
+# is unused (camera-opt off and sampling detached — the common case).
+
+
+def _make_density_bwd_kernel(
+    resolutions: Tuple[int, ...], feat: int, blk: int, mode: str, head_dtype
+):
+    # head_dtype: bf16 compiled on TPU; f32 in interpret mode (same XLA:CPU
+    # DotThunk limitation the forward kernel documents). Weights arrive
+    # already bf16-ROUNDED, so the f32 interpret dots see identical values.
+    assert mode in ("tables", "coords")
+    inner_kernel, small_res, large_res = _make_bwd_kernel(
+        resolutions, feat, blk, mode
+    )
+    tables = mode == "tables"
+
+    def kernel(
+        coords_ref, g_ref, scale_ref, offset_ref, w0_ref, b0_ref, w1_ref,
+        small_x, small_y, small_z, *refs
+    ):
+        n_large = len(large_res)
+        large_refs = refs[: n_large * 3]
+        if tables:
+            # trailing outputs: encode-table grads, then dw0/db0/dw1/db1
+            enc_out_refs = refs[n_large * 3 : n_large * 3 + 3 + n_large * 3]
+            dw0_ref, db0_ref, dw1_ref, db1_ref = refs[
+                n_large * 3 + 3 + n_large * 3 : n_large * 3 + 7 + n_large * 3
+            ]
+            gfeats_scratch = refs[-1]
+
+            @pl.when(pl.program_id(0) == 0)
+            def _init_mlp():
+                for r in (dw0_ref, db0_ref, dw1_ref, db1_ref):
+                    r[:, :] = jnp.zeros_like(r)
+        else:
+            enc_out_refs = (refs[n_large * 3],)
+            gfeats_scratch = refs[-1]
+
+        feats = _encode_feats_block(
+            resolutions, feat, blk, coords_ref, scale_ref, offset_ref,
+            (small_x, small_y, small_z), large_refs,
+        )  # [D, BLK] f32
+        # MLP forward (transposed flax-Dense bf16 contract, as in the fused
+        # density forward kernel) + vjp, all in VMEM.
+        w0v = w0_ref[:, :].astype(head_dtype)  # [H, D]
+        w1v = w1_ref[:, :].astype(head_dtype)  # [O_pad, H]
+        # Round operand VALUES to bf16 even when head_dtype is f32
+        # (interpret mode) so interpret reproduces the TPU MXU semantics
+        # (bf16-rounded operands, f32 accumulation) bit-for-bit.
+        feats_b = feats.astype(jnp.bfloat16).astype(head_dtype)
+        h = jax.lax.dot_general(
+            w0v,
+            feats_b,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+        h = jnp.maximum(h + b0_ref[:, :].astype(jnp.bfloat16), 0)  # [H, BLK]
+        g_o = g_ref[:, :].astype(jnp.bfloat16)  # [O_pad, BLK]
+        g_h = jax.lax.dot_general(
+            w1v,
+            g_o.astype(head_dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (h > 0).astype(jnp.float32)  # [H, BLK] f32
+        g_h_b = g_h.astype(jnp.bfloat16)
+        # bf16 round-trip matches the XLA vjp chain (mlp2_reference's
+        # feature cotangent passes through the bf16 dot) so the table grads
+        # see the same rounding the unfused path produced.
+        gfeats_scratch[:, :] = (
+            jax.lax.dot_general(
+                w0v,
+                g_h_b.astype(head_dtype),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            .astype(jnp.bfloat16)
+            .astype(jnp.float32)
+        )  # [D, BLK]
+
+        if tables:
+            dw1_ref[:, :] += jax.lax.dot_general(
+                g_o.astype(head_dtype), h.astype(head_dtype),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [O_pad, H]
+            db1_ref[:, :] += jnp.sum(
+                g_o.astype(jnp.float32), axis=1, keepdims=True
+            )
+            dw0_ref[:, :] += jax.lax.dot_general(
+                g_h_b.astype(head_dtype), feats_b,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [H, D]
+            db0_ref[:, :] += jnp.sum(g_h, axis=1, keepdims=True)
+
+        # Table/coordinate grads: the tested standalone backward body,
+        # reading the cotangent from the VMEM scratch instead of HBM.
+        inner_kernel(
+            coords_ref, gfeats_scratch, scale_ref, offset_ref,
+            small_x, small_y, small_z, *large_refs, *enc_out_refs,
+        )
+
+    return kernel, small_res, large_res
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 9))
+def fused_factor_density_bwd_tpu(
+    resolutions: Tuple[int, ...],
+    feat: int,
+    packed: Tuple,
+    coords01: jnp.ndarray,  # [N, 3] f32, pre-clipped
+    w0: jnp.ndarray,  # [D, H] f32 (flax Dense layout)
+    b0: jnp.ndarray,  # [H]
+    w1: jnp.ndarray,  # [H, O]
+    b1: jnp.ndarray,  # [O]
+    g: jnp.ndarray,  # [N, O] f32 cotangent of the MLP output
+    interpret: bool = False,
+) -> Tuple[Tuple, Tuple, jnp.ndarray]:
+    """Fully-fused backward of encode+2-layer-MLP.
+
+    -> (grad_packed (structure of `packed`, f32),
+        (gw0 [D, H], gb0 [H], gw1 [H, O], gb1 [O]),
+        grad_coords [N, 3]).
+    Feature/cotangent matrices never leave VMEM (see section comment)."""
+    blk = 1024
+    n = coords01.shape[0]
+    n_pad = _round_up(max(n, blk), blk)
+    coords_t = coords01.T
+    d_in, hidden = w0.shape
+    out_dim = w1.shape[1]
+    assert d_in == len(resolutions) * feat
+    assert hidden % 8 == 0, "hidden dim must be a multiple of 8 (sublanes)"
+    out_pad = _round_up(out_dim, 8)
+    g_t = jnp.pad(g.T, ((0, out_pad - out_dim), (0, 0)))  # [O_pad, N]
+    if n_pad != n:
+        coords_t = jnp.pad(coords_t, ((0, 0), (0, n_pad - n)))
+        g_t = jnp.pad(g_t, ((0, 0), (0, n_pad - n)))
+
+    # bf16 weight rounding = the Dense contract the forward kernel applies.
+    w0t = w0.T.astype(jnp.bfloat16)  # [H, D]
+    b0c = b0.reshape(hidden, 1).astype(jnp.float32)
+    w1t = jnp.pad(w1.T, ((0, out_pad - out_dim), (0, 0))).astype(jnp.bfloat16)
+
+    smalls, larges = packed
+    head_dtype = jnp.float32 if interpret else jnp.bfloat16
+    k_tables, small_res, large_res = _make_density_bwd_kernel(
+        resolutions, feat, blk, "tables", head_dtype
+    )
+    k_coords, _, _ = _make_density_bwd_kernel(
+        resolutions, feat, blk, "coords", head_dtype
+    )
+    s_scale, s_offset = small_meta(small_res)
+    scale_arr = jnp.asarray(s_scale)
+    offset_arr = jnp.asarray(s_offset)
+
+    grid = (n_pad // blk,)
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((3, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((out_pad, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        full(scale_arr.shape),
+        full(offset_arr.shape),
+        full(w0t.shape),
+        full(b0c.shape),
+        full(w1t.shape),
+        *[full(s.shape) for s in smalls],
+        *[full(b.shape) for b in larges],
+    ]
+    args = (coords_t, g_t, scale_arr, offset_arr, w0t, b0c, w1t, *smalls, *larges)
+    scratch = [pltpu.VMEM((d_in, blk), jnp.float32)]
+
+    table_outs = pl.pallas_call(
+        k_tables,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            *[full(s.shape) for s in smalls],
+            *[full(b.shape) for b in larges],
+            full((hidden, d_in)),
+            full((hidden, 1)),
+            full((out_pad, hidden)),
+            full((out_pad, 1)),
+        ],
+        out_shape=[
+            *[jax.ShapeDtypeStruct(s.shape, jnp.float32) for s in smalls],
+            *[jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in larges],
+            jax.ShapeDtypeStruct((hidden, d_in), jnp.float32),
+            jax.ShapeDtypeStruct((hidden, 1), jnp.float32),
+            jax.ShapeDtypeStruct((out_pad, hidden), jnp.float32),
+            jax.ShapeDtypeStruct((out_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+    g_coords_t = pl.pallas_call(
+        k_coords,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((3, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*args)
+    g_smalls = tuple(table_outs[:3])
+    g_larges = tuple(table_outs[3 : 3 + len(larges)])
+    dw0_t, db0_c, dw1_t, db1_c = table_outs[3 + len(larges) :]
+    g_ws = (
+        dw0_t.T,  # [D, H] flax layout
+        db0_c[:, 0],
+        dw1_t[:out_dim].T,  # [H, O]
+        db1_c[:out_dim, 0],
+    )
+    return (g_smalls, g_larges), g_ws, g_coords_t[:, :n].T

@@ -35,12 +35,21 @@ def get_mesh(
 
 
 def production_mesh(num_devices: Optional[int] = None, tensor: int = 2) -> Mesh:
-    """The documented v5e-8 edit-pass layout: ("data", "tensor") with
-    tensor=2. SDXL attention has 10/20 heads per block — divisible by 2,
-    not by 4/8 — so TP=2 is the widest head sharding that covers every
-    layer; the remaining devices form the data axis (per-view diffusion DP
-    + per-ray training DP). See README "Multi-chip" and
-    diffusion/sdxl_pipeline.tensor_parallel_pspecs."""
+    """The 2-D ("data", "tensor") edit-pass layout with UNet TP.
+
+    NOT the shipped default (``--mesh auto`` resolves to the 1-D data
+    mesh): every measurement favors pure DP for the edit pass — one v5e
+    chip fits the full bf16 SDXL sheet inpaint (warm 3x3 1536px sheet
+    ~25 s, examples/north_star_result.json), per-view generation is
+    embarrassingly parallel at the measured K=1 program, and the only TP-2
+    measurement anywhere is ADVERSE (tp2_inpaint_ratio 1.82x slower on the
+    8-device CPU mesh, MULTICHIP_r03.json — collectives beating tiny
+    matmuls is expected on CPU, but no favorable TP number exists on any
+    backend). Keep this layout for memory headroom: f32 weights, bigger
+    sheets, or ControlNet variants that break the single-chip fit. SDXL
+    attention has 10/20 heads per block — divisible by 2, not 4/8 — so
+    tensor=2 is the widest head sharding that covers every layer
+    (diffusion/sdxl_pipeline.tensor_parallel_pspecs)."""
     n = num_devices if num_devices is not None else len(jax.devices())
     if n % tensor:
         raise ValueError(f"{n} devices not divisible by tensor={tensor}")
@@ -53,9 +62,13 @@ def mesh_from_spec(spec: Optional[str]) -> Optional[Mesh]:
     Specs:
       * ``none``        — no mesh (single device).
       * ``data``        — 1-D data-parallel mesh over all devices.
-      * ``production``  — the v5e-8 edit-pass layout, (data=n/2, tensor=2).
+      * ``production``  — the 2-D TP hedge, (data=n/2, tensor=2); see
+                          `production_mesh` for why it is NOT the default.
       * ``auto``        — the shipped default: single device -> none;
-                          even device count -> production; else data.
+                          else the 1-D data mesh (the measured-best
+                          edit-pass layout: training/rendering are pure DP
+                          over rays, diffusion is DP over views, and one
+                          chip fits the whole SDXL sheet inpaint).
       * ``data=4,tensor=2`` — explicit axis sizes (any axis names; sizes
                           must multiply to <= available devices).
 
@@ -70,9 +83,7 @@ def mesh_from_spec(spec: Optional[str]) -> Optional[Mesh]:
     if spec in ("none", "off", "1", "false"):
         return None
     if spec == "auto":
-        if n == 1:
-            return None
-        return production_mesh(n) if n % 2 == 0 else get_mesh(n)
+        return None if n == 1 else get_mesh(n)
     if spec == "data":
         return get_mesh(n)
     if spec == "production":

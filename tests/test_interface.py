@@ -437,3 +437,21 @@ class TestProductionMesh:
         assert dict(m.shape) == {"data": 4, "tensor": 2}
         with _pytest.raises(ValueError):
             production_mesh(7)
+
+    def test_mesh_from_spec_auto_is_pure_dp(self):
+        """`--mesh auto` resolves to the 1-D data mesh — the measured-best
+        edit-pass layout (parallel/mesh.py:production_mesh docstring); the
+        2-D TP hedge stays opt-in via `--mesh production`."""
+        import jax
+        import pytest as _pytest
+
+        from signerf_tpu.parallel import mesh_from_spec
+
+        n = len(jax.devices())
+        if n < 8:
+            _pytest.skip("needs 8 virtual devices")
+        auto = mesh_from_spec("auto")
+        assert tuple(auto.axis_names) == ("data",)
+        assert dict(auto.shape) == {"data": n}
+        prod = mesh_from_spec("production")
+        assert dict(prod.shape) == {"data": n // 2, "tensor": 2}
