@@ -1207,7 +1207,10 @@ def _make_density_bwd_kernel(
             g_o.astype(head_dtype),
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * (h > 0).astype(jnp.float32)  # [H, BLK] f32
+        ) * (h.astype(jnp.float32) > 0.0).astype(jnp.float32)  # [H, BLK] f32
+        # ^ compare in f32: Mosaic on v5e rejects cmpf on bf16 vregs
+        #   ("Target does not support this comparison"); bf16->f32 is exact
+        #   so the ReLU mask is unchanged.
         g_h_b = g_h.astype(jnp.bfloat16)
         # bf16 round-trip matches the XLA vjp chain (mlp2_reference's
         # feature cotangent passes through the bf16 dot) so the table grads
