@@ -66,6 +66,78 @@ def setup():
     return model, params, cams, images
 
 
+class TestFusedOptimizer:
+    """The flat-group fused update must reproduce optax multi_transform
+    exactly (Adam is elementwise, so flattening cannot change any update)."""
+
+    def _tree(self):
+        k = jax.random.PRNGKey(11)
+        ks = jax.random.split(k, 8)
+        return {
+            "field": {
+                "lines": {
+                    f"l{i}": jax.random.normal(ks[i], (17 + 3 * i, 16))
+                    for i in range(3)
+                },
+                "appearance": {"embedding": jax.random.normal(ks[3], (5, 8))},
+                "mlp": {"w": jax.random.normal(ks[4], (16, 8))},
+            },
+            "proposal_0": {"w": jax.random.normal(ks[5], (9, 4))},
+            "proposal_1": {"w": jax.random.normal(ks[6], (7, 4))},
+            "camera_opt": {"pose": jax.random.normal(ks[7], (5, 6)) * 0.01},
+        }
+
+    def test_matches_multi_transform(self):
+        params = self._tree()
+        cfg_ref = OptimizersConfig(fused_update=False)
+        cfg_fused = OptimizersConfig(fused_update=True)
+        opt_ref = make_optimizer(cfg_ref, params)
+        opt_fused = make_optimizer(cfg_fused, params)
+        s_ref = opt_ref.init(params)
+        s_fused = opt_fused.init(params)
+        p_ref = jax.tree_util.tree_map(jnp.copy, params)
+        p_fused = jax.tree_util.tree_map(jnp.copy, params)
+        key = jax.random.PRNGKey(0)
+        for step in range(4):
+            grads = jax.tree_util.tree_map(
+                lambda p: jax.random.normal(
+                    jax.random.fold_in(key, step), p.shape
+                ),
+                p_ref,
+            )
+            u_ref, s_ref = opt_ref.update(grads, s_ref, p_ref)
+            u_fused, s_fused = opt_fused.update(grads, s_fused, p_fused)
+            for path_u, (a, b) in zip(
+                jax.tree_util.tree_leaves_with_path(u_ref),
+                zip(
+                    jax.tree_util.tree_leaves(u_ref),
+                    jax.tree_util.tree_leaves(u_fused),
+                ),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(a),
+                    np.asarray(b),
+                    rtol=1e-6,
+                    atol=1e-9,
+                    err_msg=str(path_u[0]),
+                )
+            import optax
+
+            p_ref = optax.apply_updates(p_ref, u_ref)
+            p_fused = optax.apply_updates(p_fused, u_fused)
+
+    def test_state_groups_align_with_surgery(self):
+        params = self._tree()
+        opt = make_optimizer(OptimizersConfig(), params)
+        state = opt.init(params)
+        assert set(state["groups"]) == {
+            "fields",
+            "proposal_networks",
+            "camera_opt",
+            "appearance",
+        }
+
+
 class TestSchedules:
     def test_exponential_decay_endpoints(self):
         cfg = OptimizerGroupConfig(lr=1e-2, lr_final=1e-4, max_steps=1000)
