@@ -1,0 +1,150 @@
+"""Stage-attribute the sheet-scale SDXL inpaint (the north-star generation
+term: 20-step 3x3 1536px sheet per dataset view, SURVEY.md §3.2 hot loop).
+
+Probes (full architecture, random-init bf16 weights — identical FLOPs and
+shapes to calibrated weights):
+  * 20-step and 4-step inpaint totals -> per-UNet-step marginal by
+    differencing (cancels VAE encode/decode + prompt encode + blends).
+  * vae_plus_overhead = 4-step total − 4 × marginal.
+  * raw self-attention at the sheet's two transformer sequence lengths
+    (S=9216 @ 10 heads, S=2304 @ 20 heads for a 192x192 latent), einsum vs
+    the pallas flash kernel — the gate evidence in unet.py:132-150.
+
+Timing: scalar-fetch wall clock over the axon tunnel (dispatch RTT is
+amortized by the one-jit sampler; attention micro-probes use
+microbench.scan_time).
+
+Usage: python scripts/profile_diffusion.py [--json DIFFUSION_BREAKDOWN.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+RESULTS: dict = {"stages_ms": {}}
+
+
+def record(label: str, ms: float) -> None:
+    RESULTS["stages_ms"][label] = round(ms, 3)
+    print(f"  {label}: {ms:.3f} ms", flush=True)
+
+
+SHEET = 1536  # 3x3 of 512px cells (downscale 2 of 1024px views)
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    from signerf_tpu.diffusion.sdxl_pipeline import SDXLInpaintPipeline
+    from signerf_tpu.utils.microbench import scan_time
+
+    pipe = SDXLInpaintPipeline.create()
+    rng = np.random.default_rng(0)
+    img = rng.random((SHEET, SHEET, 3), np.float32)
+    mask = np.zeros((SHEET, SHEET, 1), np.float32)
+    mask[-512:, -512:] = 1.0  # last cell = the spliced view
+    cond = rng.random((SHEET, SHEET, 1), np.float32)
+
+    def run_inpaint(steps: int) -> float:
+        def once(seed):
+            t0 = time.perf_counter()
+            out = pipe.img2img(
+                img,
+                "a photo",
+                mask=mask,
+                control_image=cond,
+                num_steps=steps,
+                seed=seed,
+                device_out=True,
+            )
+            np.asarray(jnp.sum(out))  # fetch a scalar: real completion
+            return time.perf_counter() - t0
+
+        once(0)  # compile
+        return min(once(s) for s in (1, 2, 3))
+
+    t20 = run_inpaint(20)
+    record("inpaint_20step_total", t20 * 1e3)
+    t4 = run_inpaint(4)
+    record("inpaint_4step_total", t4 * 1e3)
+    per_step = (t20 - t4) / 16.0
+    record("unet_step_marginal_seqcfg", per_step * 1e3)
+    record("vae_prompt_blend_overhead", (t4 - 4 * per_step) * 1e3)
+    RESULTS["note_cfg"] = (
+        "unet_step_marginal_seqcfg is ONE sampler step = TWO sequential "
+        "CFG branches (uncond + cond), each a UNet+ControlNet forward."
+    )
+
+    # ---- raw attention at the sheet's sequence lengths --------------------
+    from signerf_tpu.diffusion import unet as U
+
+    lat = SHEET // pipe.config.vae_downscale  # 192
+    for S, heads, label in (
+        ((lat // 2) ** 2, 10, "attn_S9216_h10"),
+        ((lat // 4) ** 2, 20, "attn_S2304_h20"),
+    ):
+        D = 64
+        # [B, S, H, D] — the layout unet.py's attention paths use.
+        q = jax.random.normal(jax.random.PRNGKey(0), (1, S, heads, D), jnp.bfloat16)
+        k = jax.random.normal(jax.random.PRNGKey(1), (1, S, heads, D), jnp.bfloat16)
+        v = jax.random.normal(jax.random.PRNGKey(2), (1, S, heads, D), jnp.bfloat16)
+
+        def einsum_attn(c):
+            qq = q + c.astype(jnp.bfloat16) * 0
+            s = jnp.einsum("bqhd,bkhd->bhqk", qq, k) / np.sqrt(D)
+            a = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(jnp.bfloat16)
+            o = jnp.einsum("bhqk,bkhd->bqhd", a, v)
+            return jnp.sum(o).astype(jnp.float32) * 1e-9
+
+        t_e = scan_time(einsum_attn)
+        record(f"{label}_einsum", t_e * 1e3)
+
+        def flash_attn(c):
+            qq = q + c.astype(jnp.bfloat16) * 0
+            o = U._flash_self_attention(qq, k, v, 1.0 / np.sqrt(D))
+            return jnp.sum(o).astype(jnp.float32) * 1e-9
+
+        try:
+            t_f = scan_time(flash_attn)
+            record(f"{label}_flash", t_f * 1e3)
+        except Exception as e:  # pragma: no cover - probe resilience
+            print(f"  {label}_flash FAILED: {type(e).__name__}: {e}")
+
+
+def write_json(path: str) -> None:
+    try:
+        RESULTS["commit"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip()
+    except Exception:
+        RESULTS["commit"] = "unknown"
+    RESULTS["note"] = (
+        "ms at the 3x3 1536px sheet regime (192x192 latent), full SDXL "
+        "architecture, one v5e chip, measured by scripts/profile_diffusion.py."
+    )
+    with open(path, "w") as f:
+        json.dump(RESULTS, f, indent=2)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    json_path = None
+    if "--json" in sys.argv:
+        idx = sys.argv.index("--json")
+        if idx + 1 >= len(sys.argv) or sys.argv[idx + 1].startswith("--"):
+            sys.exit("usage: profile_diffusion.py [--json OUTPUT_PATH]")
+        json_path = sys.argv[idx + 1]
+    main()
+    if json_path is not None:
+        write_json(json_path)

@@ -132,7 +132,11 @@ def main():
     def fwdbwd(c):
         val, grads = jax.value_and_grad(loss_of)(params, c)
         # fold grad leaves into the carry so the grad compute chains
-        gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(grads)[:4])
+        # Sum EVERY grad leaf: consuming only a subset lets XLA dead-code
+        # -eliminate the rest of the backward, understating it (the r4
+        # first-pass artifact recorded model_fwd_bwd 6.6 ms this way while
+        # the step total implied more).
+        gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(grads))
         return (val + gsum) * 1e-9
 
     t_fb = scan_time(fwdbwd)
@@ -179,7 +183,8 @@ def main():
             return jnp.sum(d) + jnp.sum(geo) * 1e-3
 
         val, g = jax.value_and_grad(f)(params["field"])
-        return (val + jnp.sum(jax.tree_util.tree_leaves(g)[0])) * 1e-9
+        gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+        return (val + gsum) * 1e-9
 
     t_ffb = scan_time(field_density_fwdbwd)
     record(f"final_field_density_fwd_bwd_N{N_final}", t_ffb * 1e3)
@@ -205,7 +210,8 @@ def main():
                 return jnp.sum(_prop.apply({"params": p}, _pos + c * 1e-9))
 
             val, g = jax.value_and_grad(f)(_pp)
-            return (val + jnp.sum(jax.tree_util.tree_leaves(g)[0])) * 1e-9
+            gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+            return (val + gsum) * 1e-9
 
         t_pfb = scan_time(prop_fwdbwd)
         record(f"proposal{i}_fwd_bwd_N{Np}", t_pfb * 1e3)
@@ -250,7 +256,8 @@ def main():
                 return jnp.sum(_encode_fused(enc_cfg, l, x01 + c * 1e-9))
 
             val, g = jax.value_and_grad(f)(lines)
-            return (val + jnp.sum(g[0][0])) * 1e-9
+            gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+            return (val + gsum) * 1e-9
 
         t_eb = scan_time(enc_fwdbwd)
         record(f"encode_kernel_fwd_bwd_N{N_final}", t_eb * 1e3)
@@ -273,7 +280,8 @@ def main():
                 return jnp.sum(mlp2_reference(feats0 + c * 1e-9, ws))
 
             val, g = jax.value_and_grad(f)(((k0, b0), (k1, b1)))
-            return (val + jnp.sum(g[0][0])) * 1e-9
+            gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(g))
+            return (val + gsum) * 1e-9
 
         t_mb = scan_time(mlp_fwdbwd)
         record(f"density_mlp_xla_fwd_bwd_N{N_final}", t_mb * 1e3)
@@ -358,6 +366,36 @@ def main():
     record("signerf_step_total_16384rays_patch32", t_sstep * 1e3)
     RESULTS["signerf_train_rays_per_s"] = round(s_rays / t_sstep, 1)
     print(f"  -> signerf regime {s_rays / t_sstep:,.0f} rays/s")
+
+    # ---- 9. signerf regime ablations (attribute the refine step) -----------
+    # Same step with one loss subsystem disabled each: the delta vs the
+    # total above attributes that subsystem's cost (incl. its backward).
+    for label, kw in [
+        ("signerf_step_no_normals", dict(predict_normals=False)),
+        ("signerf_step_no_lpips", dict(use_lpips=False)),
+    ]:
+        base = dict(
+            predict_normals=True, use_lpips=True, use_l1=True,
+            patch_size=32, average_init_density=0.01,
+        )
+        base.update(kw)
+        vcfg = SIGNeRFModelConfig(**base)
+        vmodel = SIGNeRFModel(vcfg, num_train_images=8)
+        vparams = vmodel.init(jax.random.PRNGKey(14))
+        vopt = make_optimizer(OptimizersConfig(), vparams)
+        t_v = time_train_step(
+            lambda K, _m=vmodel, _o=vopt: make_train_step(
+                _m, _o, cams,
+                SamplerSettings(
+                    num_rays=s_rays, patch_size=32, micro_batches=micro
+                ),
+                steps_per_call=K, donate=False,
+            ),
+            lambda _p=vparams, _o=vopt: TrainState.create(_p, _o),
+            images, key, K1=1, K2=5,
+        )
+        record(label, t_v * 1e3)
+        record(label + "_delta_vs_total", (t_sstep - t_v) * 1e3)
 
 
 def write_json(path: str) -> None:

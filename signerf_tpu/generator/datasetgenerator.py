@@ -380,6 +380,25 @@ class DatasetGenerator:
             )
         image_sheet, mask_sheet, cond_sheet = compose_sheet(lo, imgs, msks, cnds)
 
+        # Empty-mask sentinel: a reference cell with no edit mask will pass
+        # through the inpaint unedited, silently weakening the sheet's
+        # multi-view context. Observed cause (round-4 probe): the NeRF
+        # renders opaque floater density right at the camera from some
+        # azimuths, so `nears < depth < fars` fails everywhere (median
+        # depth ~0.07 vs box interval [0.86, 1.11] at two of eight poses of
+        # the north-star checkpoint). The reference's mask formula fails
+        # identically (datasetgenerator.py:766-768) but logs nothing.
+        coverage = [float(jnp.mean(m)) for m in msks]
+        for i, cov in enumerate(coverage):
+            if cov == 0.0:
+                print(
+                    f"[generator] WARNING: reference view {i} has an EMPTY "
+                    f"edit mask — its sheet cell will not be edited "
+                    f"(likely floater density in front of the selection; "
+                    f"check the NeRF's depth at that pose)",
+                    flush=True,
+                )
+
         edited_sheet = jnp.asarray(
             self.diffuser.diffuse(
                 image_sheet,
