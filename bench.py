@@ -182,6 +182,8 @@ def main():
          "scripts/profile_render.py --json RENDER_BREAKDOWN.json"),
         ("TRAIN_BREAKDOWN.json", "train_stage_breakdown",
          "scripts/profile_train.py --json TRAIN_BREAKDOWN.json"),
+        ("DIFFUSION_BREAKDOWN.json", "diffusion_stage_breakdown",
+         "scripts/profile_diffusion.py --json DIFFUSION_BREAKDOWN.json"),
     ]:
         bd_path = os.path.join(os.path.dirname(__file__), fname)
         if not os.path.exists(bd_path):

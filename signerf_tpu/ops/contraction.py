@@ -22,6 +22,22 @@ def contract(positions: jnp.ndarray, order: float = jnp.inf) -> jnp.ndarray:
     `mag_safe` clamps the scaled branch's input to >= 1 so both branches
     have finite gradients everywhere (standard double-where guard).
     """
+    if order == jnp.inf and positions.shape[-1] == 3:
+        # Component-unstacked path: [N, 3] puts the size-3 axis on vreg
+        # lanes (3 of 128 occupied), so the rowwise max-reduce and every
+        # elementwise op run at ~2% lane efficiency — measured 1.38 ms for
+        # 2.1M samples on v5e (RENDER_BREAKDOWN.json "contraction"), ~23x
+        # off bandwidth. Unstacking to three dense [N] vectors turns the
+        # reduce into two elementwise maximums and runs every op at full
+        # lane width; the only layout cost is the unstack/restack copies.
+        x = positions[..., 0]
+        y = positions[..., 1]
+        z = positions[..., 2]
+        mag = jnp.maximum(jnp.maximum(jnp.abs(x), jnp.abs(y)), jnp.abs(z))
+        mag_safe = jnp.maximum(mag, 1.0)
+        s = (2.0 - 1.0 / mag_safe) / mag_safe
+        s = jnp.where(mag <= 1.0, jnp.ones_like(s), s)
+        return jnp.stack([x * s, y * s, z * s], axis=-1)
     if order == jnp.inf:
         mag = jnp.max(jnp.abs(positions), axis=-1, keepdims=True)
     else:
