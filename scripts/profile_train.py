@@ -367,6 +367,27 @@ def main():
     RESULTS["signerf_train_rays_per_s"] = round(s_rays / t_sstep, 1)
     print(f"  -> signerf regime {s_rays / t_sstep:,.0f} rays/s")
 
+    # ---- 8b. micro-batch split A/B at the signerf regime --------------------
+    # auto_micro_batches' 8192-ray sweet spot was measured BEFORE the fused
+    # density kernels removed the [N, D] f32 feature intermediates; if the
+    # spill boundary moved, a monolithic 16384-ray step saves a whole
+    # sequential fwd/bwd pass.
+    for mlabel, m_override in [("micro1_monolithic", 1), ("micro4", 4)]:
+        if micro == m_override:
+            continue
+        t_m = time_train_step(
+            lambda K, _m=m_override: make_train_step(
+                smodel, sopt, cams,
+                SamplerSettings(
+                    num_rays=s_rays, patch_size=32, micro_batches=_m
+                ),
+                steps_per_call=K, donate=False,
+            ),
+            lambda: TrainState.create(sparams, sopt),
+            images, key, K1=1, K2=5,
+        )
+        record(f"signerf_step_{mlabel}", t_m * 1e3)
+
     # ---- 9. signerf regime ablations (attribute the refine step) -----------
     # Same step with one loss subsystem disabled each: the delta vs the
     # total above attributes that subsystem's cost (incl. its backward).

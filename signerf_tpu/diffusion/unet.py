@@ -168,6 +168,12 @@ FLASH_MESH = None  # (Mesh, batch_axis | None, head_axis | None)
 # TPU kernel has no interpret mode; its numerics are TPU-bench-verified).
 FLASH_REFERENCE_IMPL = False
 
+# (block_q, block_kv) override for the stock pallas flash kernel. The
+# kernel's defaults measured 3x SLOWER than einsum at the sheet-scale
+# shapes (DIFFUSION_BREAKDOWN.json: S=9216 h10 flash 20.6 ms vs einsum
+# 6.8 ms); scripts/tune_flash_attention.py sweeps this. None = defaults.
+FLASH_BLOCK_SIZES: "tuple[int, int] | None" = None
+
 
 @contextlib.contextmanager
 def flash_mesh(mesh, batch_axis=None, head_axis=None):
@@ -193,10 +199,23 @@ def _flash_self_attention(q, k, v, sm_scale):
         return out.reshape(b, s, num_heads * head_dim)
 
     from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
         SegmentIds,
         flash_attention,
     )
     pad = (-s) % 128
+    s_padded = s + pad
+    kwargs = {}
+    if FLASH_BLOCK_SIZES is not None:
+        bq = min(FLASH_BLOCK_SIZES[0], s_padded)
+        bkv = min(FLASH_BLOCK_SIZES[1], s_padded)
+        if s_padded % bq == 0 and s_padded % bkv == 0:
+            kwargs["block_sizes"] = BlockSizes(
+                block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
+                block_q_major_dkv=bq, block_k_major_dkv=bkv,
+                block_k_dkv=bkv, block_q_dkv=bq,
+                block_k_major_dq=bkv, block_k_dq=bkv, block_q_dq=bq,
+            )
     qh = jnp.swapaxes(q, 1, 2)  # [B, H, S, D]
     kh = jnp.swapaxes(k, 1, 2)
     vh = jnp.swapaxes(v, 1, 2)
@@ -210,7 +229,7 @@ def _flash_self_attention(q, k, v, sm_scale):
         seg = SegmentIds(q=ids, kv=ids)
     else:
         seg = None
-    out = flash_attention(qh, kh, vh, segment_ids=seg, sm_scale=sm_scale)
+    out = flash_attention(qh, kh, vh, segment_ids=seg, sm_scale=sm_scale, **kwargs)
     out = jnp.swapaxes(out, 1, 2)[:, :s]  # [B, S, H, D]
     return out.reshape(b, s, num_heads * head_dim)
 
