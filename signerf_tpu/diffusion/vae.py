@@ -62,6 +62,45 @@ class ResnetBlock(nn.Module):
         return x + h
 
 
+# Above this many tokens the mid-block attention runs query-chunked: the
+# [S, S] score matrix at a 1536px sheet (192x192 latent = 36864 tokens) is
+# 5.4 GB in f32 — the VAE's HBM peak — while chunking queries keeps the
+# softmax exact (full key axis per row) at a [CHUNK, S] footprint.
+ATTN_CHUNK_TOKENS = 8192
+ATTN_QUERY_CHUNK = 2048
+
+
+def _plain_attention(q, k, v, dtype):
+    c = q.shape[-1]
+    scores = jnp.einsum("bqc,bkc->bqk", q, k) / jnp.sqrt(c).astype(dtype)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(dtype)
+    return jnp.einsum("bqk,bkc->bqc", probs, v)
+
+
+def _chunked_attention(q, k, v, dtype):
+    """Query-blocked attention, numerically identical to `_plain_attention`
+    (the softmax still sees the complete key axis per query row); peak
+    score memory is [ATTN_QUERY_CHUNK, S] instead of [S, S]."""
+    b, s, c = q.shape
+    pad = (-s) % ATTN_QUERY_CHUNK
+    if pad:
+        q = jnp.concatenate([q, jnp.zeros((b, pad, c), q.dtype)], axis=1)
+    nq = q.shape[1] // ATTN_QUERY_CHUNK
+    q_blocks = jnp.moveaxis(
+        q.reshape(b, nq, ATTN_QUERY_CHUNK, c), 1, 0
+    )  # [nq, B, CHUNK, C]
+    scale = 1.0 / jnp.sqrt(c).astype(dtype)
+
+    def per_chunk(qc):
+        scores = jnp.einsum("bqc,bkc->bqk", qc, k) * scale
+        probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(dtype)
+        return jnp.einsum("bqk,bkc->bqc", probs, v)
+
+    out = jax.lax.map(per_chunk, q_blocks)  # [nq, B, CHUNK, C]
+    out = jnp.moveaxis(out, 0, 1).reshape(b, nq * ATTN_QUERY_CHUNK, c)
+    return out[:, :s]
+
+
 class AttnBlock(nn.Module):
     groups: int
     dtype: jnp.dtype = jnp.bfloat16
@@ -73,9 +112,10 @@ class AttnBlock(nn.Module):
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
         v = nn.Dense(c, dtype=self.dtype, name="to_v")(y)
-        scores = jnp.einsum("bqc,bkc->bqk", q, k) / jnp.sqrt(c).astype(y.dtype)
-        probs = jax.nn.softmax(scores.astype(jnp.float32), -1).astype(y.dtype)
-        out = jnp.einsum("bqk,bkc->bqc", probs, v)
+        if h * w > ATTN_CHUNK_TOKENS:
+            out = _chunked_attention(q, k, v, y.dtype)
+        else:
+            out = _plain_attention(q, k, v, y.dtype)
         out = nn.Dense(c, dtype=self.dtype, name="to_out")(out)
         return x + out.reshape(b, h, w, c)
 

@@ -142,6 +142,7 @@ class DatasetGenerator:
         # per-view images (~2-4 s over the tunnel) runs in worker threads
         # so the main thread keeps dispatching render/diffusion work.
         self._save_pool = None
+        self._prefetch_pool = None
         self._pending_prev: List = []
         self._pending_cur: List = []
         # Per-phase wall-clock of the last generate_dataset() call:
@@ -273,6 +274,43 @@ class DatasetGenerator:
         for fut in self._pending_prev + self._pending_cur:
             fut.result()
         self._pending_prev, self._pending_cur = [], []
+
+    def _decode_original(self, filename: Path) -> jnp.ndarray:
+        """Decode (+resize to the generator resolution) one original photo
+        -> float32 [H, W, 3] in [0, 1]. Native C++ codec first
+        (native/image_codec.cpp — GIL-free decode+resize, so prefetch
+        threads overlap device compute); PIL + device bilinear resize as
+        the fallback."""
+        c = self.config
+        h, w = int(c.height), int(c.width)
+        from signerf_tpu.native.loader import decode_png_batch
+
+        batch = decode_png_batch([filename], w, h)
+        if batch is not None:
+            return jnp.asarray(batch[0], jnp.float32) / 255.0
+        from PIL import Image
+
+        with Image.open(filename) as img:
+            arr = jnp.asarray(image_to_array(img.convert("RGB")))
+        if arr.shape[:2] != (h, w):
+            arr = resize_bilinear(arr, h, w)
+        return arr
+
+    def _prefetch_originals(self, filenames, indices, futures) -> None:
+        """Queue host PNG decodes for `indices` on the prefetch pool (one
+        chunk of lookahead in generate_dataset hides the per-view decode
+        behind the previous view's device work)."""
+        if self._prefetch_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._prefetch_pool = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="png-prefetch"
+            )
+        for i in indices:
+            if filenames[i] is not None and i not in futures:
+                futures[i] = self._prefetch_pool.submit(
+                    self._decode_original, filenames[i]
+                )
 
     def _write_transforms(self, transforms: Dict[str, Any]) -> None:
         # Resume invariant, relaxed by ONE chunk: saves queued before the
@@ -429,19 +467,17 @@ class DatasetGenerator:
         filename: Optional[Path],
         image_sheet: jnp.ndarray,
         cond_sheet: jnp.ndarray,
+        decoded: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         c = self.config
         lo = self._layout()
         sh, sw = lo.cell_height, lo.cell_width
 
         render, mask, cond = self.render_camera(cameras, index)
-        if filename is not None:
-            from PIL import Image
-
-            with Image.open(filename) as img:
-                render = jnp.asarray(image_to_array(img.convert("RGB")))
-                if render.shape[:2] != (int(c.height), int(c.width)):
-                    render = resize_bilinear(render, int(c.height), int(c.width))
+        if decoded is not None:
+            render = jnp.asarray(decoded, jnp.float32)
+        elif filename is not None:
+            render = self._decode_original(filename)
 
         r_s = resize_bilinear(render, sh, sw)
         m_s = resize_mask(mask, sh, sw)
@@ -482,6 +518,7 @@ class DatasetGenerator:
         filenames: List[Optional[Path]],
         image_sheet: jnp.ndarray,
         cond_sheet: jnp.ndarray,
+        decodeds: Optional[List[Optional[jnp.ndarray]]] = None,
     ) -> List[Dict[str, jnp.ndarray]]:
         """Batched per-view generation: splice K views into K copies of the
         sheet and diffuse them in one call (`Diffuser.diffuse_batch`).
@@ -493,17 +530,13 @@ class DatasetGenerator:
 
         views = []
         sheets_i, sheets_m, sheets_c = [], [], []
-        for idx, filename in zip(indices, filenames):
+        for pos, (idx, filename) in enumerate(zip(indices, filenames)):
             render, mask, cond = self.render_camera(cameras, idx)
-            if filename is not None:
-                from PIL import Image
-
-                with Image.open(filename) as img:
-                    render = jnp.asarray(image_to_array(img.convert("RGB")))
-                    if render.shape[:2] != (int(c.height), int(c.width)):
-                        render = resize_bilinear(
-                            render, int(c.height), int(c.width)
-                        )
+            decoded = decodeds[pos] if decodeds is not None else None
+            if decoded is not None:
+                render = jnp.asarray(decoded, jnp.float32)
+            elif filename is not None:
+                render = self._decode_original(filename)
             r_s = resize_bilinear(render, sh, sw)
             m_s = resize_mask(mask, sh, sw)
             c_s = resize_bilinear(cond, sh, sw)
@@ -682,13 +715,29 @@ class DatasetGenerator:
         transforms["generated_indices"] = []
         bsz = max(1, int(c.generation_batch_size))
         t_prev = time.time()
+        prefetched: Dict[int, Any] = {}
+        self._prefetch_originals(
+            gen_filenames, range(min(bsz, len(gen_cams))), prefetched
+        )
         for start in range(0, len(gen_cams), bsz):
             chunk = list(range(start, min(start + bsz, len(gen_cams))))
+            # Queue the NEXT chunk's original decodes before touching this
+            # one: the host PNG work then runs while this chunk's device
+            # graph (render + diffusion) executes.
+            self._prefetch_originals(
+                gen_filenames,
+                range(chunk[-1] + 1, min(chunk[-1] + 1 + bsz, len(gen_cams))),
+                prefetched,
+            )
+            decoded = [
+                prefetched.pop(i).result() if i in prefetched else None
+                for i in chunk
+            ]
             if bsz == 1:
                 images_list = [
                     self.generate_with_reference_sheet(
                         gen_cams, chunk[0], gen_filenames[chunk[0]],
-                        edited_sheet, cond_sheet,
+                        edited_sheet, cond_sheet, decoded=decoded[0],
                     )
                 ]
             else:
@@ -698,6 +747,7 @@ class DatasetGenerator:
                     [gen_filenames[i] for i in chunk],
                     edited_sheet,
                     cond_sheet,
+                    decodeds=decoded,
                 )
             for i, images in zip(chunk, images_list):
                 transforms = self.save_generated_images(

@@ -533,6 +533,56 @@ class TestGroupNormBF16:
         assert m.apply(p, x).dtype == jnp.bfloat16
 
 
+class TestVAEChunkedAttention:
+    """The VAE mid-block attention runs query-chunked above
+    ATTN_CHUNK_TOKENS: the [S, S] score matrix at a 1536px sheet is 5.4 GB
+    f32 (the VAE's HBM peak) while the chunked form is exact math at a
+    [CHUNK, S] footprint."""
+
+    def test_chunked_matches_plain_f32(self, monkeypatch):
+        from signerf_tpu.diffusion import vae as V
+
+        monkeypatch.setattr(V, "ATTN_QUERY_CHUNK", 16)
+        rng = jax.random.PRNGKey(0)
+        kq, kk, kv = jax.random.split(rng, 3)
+        # S=80 divides the chunk; exercises multi-chunk accumulation
+        q = jax.random.normal(kq, (2, 80, 8), jnp.float32)
+        k = jax.random.normal(kk, (2, 80, 8), jnp.float32)
+        v = jax.random.normal(kv, (2, 80, 8), jnp.float32)
+        a = V._plain_attention(q, k, v, jnp.float32)
+        b = V._chunked_attention(q, k, v, jnp.float32)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+    def test_chunked_handles_ragged_sequence(self, monkeypatch):
+        from signerf_tpu.diffusion import vae as V
+
+        monkeypatch.setattr(V, "ATTN_QUERY_CHUNK", 16)
+        rng = jax.random.PRNGKey(1)
+        kq, kk, kv = jax.random.split(rng, 3)
+        # S=37 does not divide the chunk; padded rows must be sliced off
+        q = jax.random.normal(kq, (1, 37, 8), jnp.float32)
+        k = jax.random.normal(kk, (1, 37, 8), jnp.float32)
+        v = jax.random.normal(kv, (1, 37, 8), jnp.float32)
+        a = V._plain_attention(q, k, v, jnp.float32)
+        b = V._chunked_attention(q, k, v, jnp.float32)
+        assert b.shape == (1, 37, 8)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
+
+    def test_module_gate_flips_to_chunked(self, monkeypatch):
+        from signerf_tpu.diffusion import vae as V
+
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 6, 6, 8), jnp.float32)
+        blk = V.AttnBlock(groups=2, dtype=jnp.float32)
+        params = blk.init(jax.random.PRNGKey(3), x)
+        y_plain = blk.apply(params, x)
+        monkeypatch.setattr(V, "ATTN_CHUNK_TOKENS", 8)  # 36 tokens > 8
+        monkeypatch.setattr(V, "ATTN_QUERY_CHUNK", 16)
+        y_chunked = blk.apply(params, x)
+        np.testing.assert_allclose(
+            np.asarray(y_plain), np.asarray(y_chunked), atol=1e-5, rtol=1e-5
+        )
+
+
 @pytest.mark.slow
 class TestMeshedFlashAttention:
     """shard_map-wrapped flash attention (the 2048px-sheet memory-ceiling

@@ -152,6 +152,54 @@ class TestGenerateDataset:
         assert info["synthetic_camera_to_worlds"].shape == (4, 3, 4)
 
 
+class TestOriginalFilenamesPrefetch:
+    """Per-view generation over original photos: decodes are prefetched one
+    chunk ahead on a host thread pool (native codec first) and must land
+    pixel-correct in the regenerated views."""
+
+    def test_prefetched_originals_used_per_view(self, tmp_path):
+        from PIL import Image
+
+        gen = make_generator(tmp_path)
+        ref_poses = np.asarray(
+            circle_poses(3, radius=2.0, theta=60.0, phi=(0.0, 240.0))
+        )
+        orig_poses = np.asarray(
+            circle_poses(3, radius=2.0, theta=45.0, phi=(0.0, 120.0))
+        )
+        orig_cams = gen._cameras_from_poses(orig_poses[:, :3])
+        files = []
+        for i, val in enumerate([64, 128, 192]):
+            p = tmp_path / f"orig_{i}.png"
+            Image.fromarray(np.full((H, W, 3), val, np.uint8)).save(p)
+            files.append(p)
+        path = gen.generate_dataset(
+            reference_camera_to_worlds=ref_poses[:, :3],
+            original_cameras=orig_cams,
+            original_filenames=files,
+        )
+        # views 3..5 are the per-view regenerations of the three originals;
+        # their "render" (saved under originals/) is the decoded photo
+        for k, val in enumerate([64, 128, 192]):
+            img = np.asarray(Image.open(path / "originals" / f"image_{3 + k}.png"))
+            assert abs(int(img.mean()) - val) <= 2, (k, img.mean())
+
+    def test_decode_original_matches_pil(self, tmp_path):
+        from PIL import Image
+
+        from signerf_tpu.utils.images import image_to_array
+
+        gen = make_generator(tmp_path)
+        rng = np.random.default_rng(0)
+        arr = rng.integers(0, 256, (H, W, 3), np.uint8)
+        p = tmp_path / "photo.png"
+        Image.fromarray(arr).save(p)
+        got = np.asarray(gen._decode_original(p))
+        with Image.open(p) as img:
+            want = image_to_array(img.convert("RGB"))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 class TestMergeWithOriginals:
     def test_merge_inverts_masks(self, tmp_path):
         gen = make_generator(tmp_path)
