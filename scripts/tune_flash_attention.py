@@ -64,6 +64,19 @@ BLOCKS = [
     (2304, 1024),
     (512, 2304),
     (1536, 1536),
+    # power-of-two kv for the per-view shapes (S=4096/1024, latent 128)
+    (256, 512),
+    (512, 2048),
+    (512, 4096),
+    (256, 1024),
+    # 2304-divisible tilings (S=2304 admits only (256,256) from the list
+    # above; 384/768/1152 are the other 128-multiple divisors)
+    (384, 768),
+    (768, 768),
+    (384, 2304),
+    (768, 2304),
+    (1152, 1152),
+    (2304, 2304),
 ]
 
 
@@ -179,8 +192,18 @@ if __name__ == "__main__":
     if "--json" in sys.argv:
         idx = sys.argv.index("--json")
         if idx + 1 >= len(sys.argv) or sys.argv[idx + 1].startswith("--"):
-            sys.exit("usage: tune_flash_attention.py [--json OUTPUT_PATH]")
+            sys.exit("usage: tune_flash_attention.py [--json OUT] [--shapes B,S,H,D;...]")
         json_path = sys.argv[idx + 1]
+    if "--shapes" in sys.argv:
+        # Override the sheet-scale defaults, e.g. the per-view 1024px-image
+        # regime (latent 128): "2,4096,10,64;2,1024,20,64".
+        idx = sys.argv.index("--shapes")
+        if idx + 1 >= len(sys.argv) or sys.argv[idx + 1].startswith("--"):
+            sys.exit("usage: tune_flash_attention.py [--json OUT] [--shapes B,S,H,D;...]")
+        SHAPES = [
+            dict(zip(("B", "S", "H", "D"), map(int, part.split(","))))
+            for part in sys.argv[idx + 1].split(";")
+        ]
     main()
     if json_path is not None:
         write_json(json_path)

@@ -138,15 +138,18 @@ class ResnetBlock2D(nn.Module):
 # Gate on the naive path's SCORE-TENSOR FOOTPRINT, B*H*S^2 bf16 bytes —
 # not token count (at fixed B*S the memory still scales with S, so a big
 # batch of small-S views is nowhere near the wall of one huge sheet).
-# Measured on 1x v5e: at B=1 S=9216 H=10 (1.7 GB scores) the XLA einsum
-# path is 2.4x FASTER than the flash kernel (10.3 vs 24.8 ms); at S=36864
-# (27 GB) the einsum path fails to allocate outright and flash runs fine —
-# flash is the memory-ceiling escape hatch, not the default.
+# History: with the kernel's STOCK BlockSizes the einsum was 2.4x faster
+# at B=1 S=9216 (10.3 vs 24.8 ms), so flash was only the memory-ceiling
+# escape hatch (S=36864's 27 GB scores fail to allocate; flash runs fine).
+# With TUNED tilings (FLASH_BLOCK_TABLE below) flash beats einsum 1.3-6.5x
+# at every production shape measured, so a table hit now also enables
+# flash below the threshold; the threshold keeps its memory-valve role
+# for unlisted shapes.
 FLASH_ATTENTION = True  # process-wide kill switch (tests/drives)
-# 2 GB: B=1 S=9216 H=10 (1.7 GB, einsum measured 2.4x faster) stays naive;
-# the CFG-batched 3x3 sheet (B=2, 3.4 GB scores) goes flash — measured
-# RESOURCE_EXHAUSTED on 16 GB v5e under a 4 GB threshold with the 5 GB
-# bf16 weight stack resident.
+# 2 GB: measured RESOURCE_EXHAUSTED on 16 GB v5e under a 4 GB threshold
+# with the 5 GB bf16 weight stack resident (CFG-batched 3x3 sheet, 3.4 GB
+# scores). sdxl_pipeline's sequential-CFG and serial-views decisions key
+# off this same einsum-memory model.
 FLASH_SCORE_BYTES_THRESHOLD = 2 << 30
 
 
@@ -172,7 +175,27 @@ FLASH_REFERENCE_IMPL = False
 # kernel's defaults measured 3x SLOWER than einsum at the sheet-scale
 # shapes (DIFFUSION_BREAKDOWN.json: S=9216 h10 flash 20.6 ms vs einsum
 # 6.8 ms); scripts/tune_flash_attention.py sweeps this. None = defaults.
+# An explicit FLASH_BLOCK_SIZES wins over the per-shape table below.
 FLASH_BLOCK_SIZES: "tuple[int, int] | None" = None
+
+# Tuned (block_q, block_kv) per padded sequence length, measured on 1x v5e
+# by scripts/tune_flash_attention.py (ATTN_SWEEP.json at the repo root).
+# Only shapes where tuned flash BEAT the einsum path are listed — a table
+# hit therefore also *enables* flash below the memory threshold (the
+# CrossAttention gate): with stock blocks flash was the slow-but-OOM-safe
+# fallback; with these tilings it is the fast path outright:
+#   S=9216 h10 B1 (3x3 1536px sheet, stage 2): einsum 16.8 ms -> 2.60 ms
+#   S=2304 h20 B1 (sheet, stage 3):            einsum 1.08 ms -> 0.24 ms
+#   S=4096 h10 B2 (per-view 1024px, stage 2):  einsum 2.98 ms -> 0.92 ms
+#   S=1024 h20 B2 (per-view, stage 3): sub-ms both ways, below the
+#     scan-differencing noise floor over the tunnel — stays einsum.
+# Keyed by padded S; the value is the winner at the batch the production
+# regime dispatches (sheet = CFG-sequential B1, per-view = CFG-batched B2).
+FLASH_BLOCK_TABLE: "dict[int, tuple[int, int]]" = {
+    9216: (512, 2304),
+    2304: (384, 768),
+    4096: (512, 512),
+}
 
 
 @contextlib.contextmanager
@@ -206,9 +229,10 @@ def _flash_self_attention(q, k, v, sm_scale):
     pad = (-s) % 128
     s_padded = s + pad
     kwargs = {}
-    if FLASH_BLOCK_SIZES is not None:
-        bq = min(FLASH_BLOCK_SIZES[0], s_padded)
-        bkv = min(FLASH_BLOCK_SIZES[1], s_padded)
+    blocks = FLASH_BLOCK_SIZES or FLASH_BLOCK_TABLE.get(s_padded)
+    if blocks is not None:
+        bq = min(blocks[0], s_padded)
+        bkv = min(blocks[1], s_padded)
         if s_padded % bq == 0 and s_padded % bkv == 0:
             kwargs["block_sizes"] = BlockSizes(
                 block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
@@ -280,12 +304,17 @@ class CrossAttention(nn.Module):
         v = v.reshape(b, sk, self.num_heads, self.head_dim)
         scale = 1.0 / math.sqrt(self.head_dim)
         score_bytes = 2 * b * self.num_heads * sq * sk
+        # Flash engages above the einsum-score memory ceiling (necessity)
+        # OR when the padded S has a tuned tiling that measured faster than
+        # einsum on v5e (FLASH_BLOCK_TABLE; tiny/test shapes stay einsum).
+        s_padded = sq + (-sq) % 128
+        flash_wins = s_padded in FLASH_BLOCK_TABLE
         out = None
         if (
             self_attn
             and self.use_flash
             and FLASH_ATTENTION
-            and score_bytes >= FLASH_SCORE_BYTES_THRESHOLD
+            and (score_bytes >= FLASH_SCORE_BYTES_THRESHOLD or flash_wins)
             and (jax.default_backend() != "cpu" or FLASH_REFERENCE_IMPL)
         ):
             if FLASH_MESH is not None:

@@ -621,6 +621,33 @@ class TestMeshedFlashAttention:
         np.testing.assert_allclose(np.asarray(out_jit), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
 
+    def test_block_table_hit_enables_flash_below_threshold(self, monkeypatch):
+        """A FLASH_BLOCK_TABLE entry for the padded S engages flash even
+        when the score footprint is below the memory threshold (tuned
+        tilings measured FASTER than einsum — ATTN_SWEEP.json); shapes
+        without an entry keep the einsum path."""
+        from signerf_tpu.diffusion import unet as unet_mod
+
+        attn, params, x = self._attn_io(heads=4, batch=1, seq=100)  # pads to 128
+        ref = attn.apply(params, x)
+        calls = []
+        real = unet_mod._flash_self_attention
+        monkeypatch.setattr(unet_mod, "FLASH_REFERENCE_IMPL", True)
+        monkeypatch.setattr(
+            unet_mod, "_flash_self_attention",
+            lambda *a, **k: (calls.append(1), real(*a, **k))[1],
+        )
+        monkeypatch.setattr(unet_mod, "FLASH_SCORE_BYTES_THRESHOLD", 1 << 60)
+        monkeypatch.setattr(unet_mod, "FLASH_BLOCK_TABLE", {})
+        attn.apply(params, x)
+        assert not calls, "no table entry + below threshold must stay einsum"
+        monkeypatch.setattr(unet_mod, "FLASH_BLOCK_TABLE", {128: (128, 128)})
+        out = attn.apply(params, x)
+        assert calls, "table hit for padded S must engage the flash path"
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
     def test_indivisible_heads_fall_back(self, monkeypatch):
         if len(jax.devices()) < 8:
             pytest.skip("needs 8 virtual devices")
