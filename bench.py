@@ -177,13 +177,19 @@ def main():
         ).stdout.strip()
     except Exception:
         head = ""
-    for fname, extras_key, refresh_cmd in [
+    for fname, extras_key, refresh_cmd, code_paths in [
         ("RENDER_BREAKDOWN.json", "render_stage_breakdown",
-         "scripts/profile_render.py --json RENDER_BREAKDOWN.json"),
+         "scripts/profile_render.py --json RENDER_BREAKDOWN.json",
+         ["signerf_tpu/models", "signerf_tpu/ops", "signerf_tpu/cameras",
+          "signerf_tpu/utils", "native"]),
         ("TRAIN_BREAKDOWN.json", "train_stage_breakdown",
-         "scripts/profile_train.py --json TRAIN_BREAKDOWN.json"),
+         "scripts/profile_train.py --json TRAIN_BREAKDOWN.json",
+         ["signerf_tpu/models", "signerf_tpu/ops", "signerf_tpu/engine",
+          "signerf_tpu/cameras", "signerf_tpu/utils", "native"]),
         ("DIFFUSION_BREAKDOWN.json", "diffusion_stage_breakdown",
-         "scripts/profile_diffusion.py --json DIFFUSION_BREAKDOWN.json"),
+         "scripts/profile_diffusion.py --json DIFFUSION_BREAKDOWN.json",
+         ["signerf_tpu/diffusion", "signerf_tpu/parallel",
+          "signerf_tpu/utils", "native"]),
     ]:
         bd_path = os.path.join(os.path.dirname(__file__), fname)
         if not os.path.exists(bd_path):
@@ -191,15 +197,32 @@ def main():
         with open(bd_path) as f:
             breakdown = json.load(f)
         # A breakdown profiled at an older kernel revision must not be
-        # published as if it were current — mark it stale when its recorded
-        # commit differs from HEAD.
+        # published as if it were current — mark it stale when code the
+        # measurement depends on changed between its recorded commit and
+        # HEAD (docs/tests/artifact commits don't invalidate a profile).
         bd_commit = str(breakdown.get("commit", "unknown"))
+        stale = False
         if head and not (
             bd_commit.startswith(head) or head.startswith(bd_commit)
         ):
+            try:
+                changed = subprocess.run(
+                    ["git", "diff", "--name-only",
+                     f"{bd_commit}..HEAD", "--", *code_paths],
+                    capture_output=True, text=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    timeout=10,
+                )
+                # Unknown commit (rc!=0) is stale; clean diff is fresh.
+                stale = changed.returncode != 0 or bool(
+                    changed.stdout.strip()
+                )
+            except Exception:
+                stale = True
+        if stale:
             breakdown["stale"] = (
-                f"profiled at {bd_commit}, bench ran at {head} — re-run "
-                f"{refresh_cmd}"
+                f"profiled at {bd_commit}, measured code changed by "
+                f"{head} — re-run {refresh_cmd}"
             )
         extras[extras_key] = breakdown
 

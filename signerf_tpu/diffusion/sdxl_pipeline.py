@@ -305,11 +305,11 @@ class SDXLInpaintPipeline:
             else 0
         )
 
-        # Serial-views fast path: at sheet scale the per-layer einsum
-        # attention fits at view-batch 1 but crosses the flash-score
-        # threshold at K>1 (unet.py gate) — and where einsum fits it is
-        # ~2.4x faster than the flash kernel (measured on v5e at a 1536px
-        # sheet: 1190 ms/step for a K=2 flash batch vs 2x312 ms for K=1
+        # Serial-views fast path: at sheet scale the per-layer attention
+        # fits at view-batch 1 but crosses the flash-score threshold at
+        # K>1 (unet.py gate). Two serial K=1 programs still beat one K=2
+        # batch with TUNED flash tilings (ATTN_SWEEP.json: 2x2.60 ms vs
+        # 5.36 ms at S=9216; with the old stock blocks the gap was 1.9x:
         # einsum calls). When no data axis shards the view batch, K serial
         # einsum dispatches beat one flash dispatch, so run views one at a
         # time through the (cached) k_batch=1 program. Per-view RNG then
@@ -500,13 +500,12 @@ class SDXLInpaintPipeline:
         elif inpainting_fill == 3:
             init_latent = init_latent * (1 - latent_mask)
 
-        # CFG: batched [uncond x K, cond x K] by default. At sheet scale the
-        # 2K batch pushes the top self-attention (latent/2 tokens, 10 heads)
-        # past the einsum-score memory ceiling and onto the flash kernel;
-        # running uncond|cond SEQUENTIALLY at batch K halves the footprint
-        # and keeps the (measured 2.4x faster) einsum path. Measured on v5e
-        # at a 1536px sheet: batched-flash 1190 ms/step vs 2x312 ms
-        # sequential-einsum — 1.9x. Same math, same rng, just scheduling.
+        # CFG: batched [uncond x K, cond x K] by default. At sheet scale
+        # running uncond|cond SEQUENTIALLY at batch K halves the attention
+        # footprint, and two B1 dispatches still beat one B2 even with
+        # TUNED flash tilings (ATTN_SWEEP.json @68e48f6: 2x2.60 ms vs
+        # 5.36 ms at S=9216 h10; with stock blocks the gap was 1.9x whole-
+        # step). Same math, same rng, just scheduling.
         from signerf_tpu.diffusion.unet import FLASH_SCORE_BYTES_THRESHOLD
 
         worst_scores = _worst_selfattn_scores(self.unet.config, h // f, w // f)
