@@ -177,19 +177,22 @@ def main():
         ).stdout.strip()
     except Exception:
         head = ""
+    # code_paths include each breakdown's own profiler script (and the shared
+    # microbench timer) so a methodology change also marks the artifact stale.
     for fname, extras_key, refresh_cmd, code_paths in [
         ("RENDER_BREAKDOWN.json", "render_stage_breakdown",
          "scripts/profile_render.py --json RENDER_BREAKDOWN.json",
          ["signerf_tpu/models", "signerf_tpu/ops", "signerf_tpu/cameras",
-          "signerf_tpu/utils", "native"]),
+          "signerf_tpu/utils", "native", "scripts/profile_render.py"]),
         ("TRAIN_BREAKDOWN.json", "train_stage_breakdown",
          "scripts/profile_train.py --json TRAIN_BREAKDOWN.json",
          ["signerf_tpu/models", "signerf_tpu/ops", "signerf_tpu/engine",
-          "signerf_tpu/cameras", "signerf_tpu/utils", "native"]),
+          "signerf_tpu/cameras", "signerf_tpu/utils", "native",
+          "scripts/profile_train.py"]),
         ("DIFFUSION_BREAKDOWN.json", "diffusion_stage_breakdown",
          "scripts/profile_diffusion.py --json DIFFUSION_BREAKDOWN.json",
          ["signerf_tpu/diffusion", "signerf_tpu/parallel",
-          "signerf_tpu/utils", "native"]),
+          "signerf_tpu/utils", "native", "scripts/profile_diffusion.py"]),
     ]:
         bd_path = os.path.join(os.path.dirname(__file__), fname)
         if not os.path.exists(bd_path):
@@ -220,11 +223,19 @@ def main():
             except Exception:
                 stale = True
         if stale:
-            breakdown["stale"] = (
-                f"profiled at {bd_commit}, measured code changed by "
-                f"{head} — re-run {refresh_cmd}"
-            )
-        extras[extras_key] = breakdown
+            # Never republish superseded measurements in a recorded
+            # BENCH_r0N: keep only the pointer + stale reason, not the
+            # stale numbers themselves.
+            extras[extras_key] = {
+                "stale": (
+                    f"profiled at {bd_commit}, measured code changed by "
+                    f"{head} — re-run {refresh_cmd}"
+                ),
+                "artifact": fname,
+                "commit": bd_commit,
+            }
+        else:
+            extras[extras_key] = breakdown
 
     print(
         json.dumps(

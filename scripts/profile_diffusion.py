@@ -20,6 +20,7 @@ Usage: python scripts/profile_diffusion.py [--json DIFFUSION_BREAKDOWN.json]
 from __future__ import annotations
 
 import json
+import math
 import os
 import subprocess
 import sys
@@ -35,6 +36,12 @@ RESULTS: dict = {"stages_ms": {}}
 
 
 def record(label: str, ms: float) -> None:
+    # NaN (= below the adaptive timer's noise floor) and non-positive rows are
+    # never published as measurements; see signerf_tpu/utils/microbench.py.
+    if not math.isfinite(ms) or ms <= 0:
+        RESULTS.setdefault("unresolved_below_noise_floor", []).append(label)
+        print(f"  {label}: unresolved (below noise floor)", flush=True)
+        return
     RESULTS["stages_ms"][label] = round(ms, 3)
     print(f"  {label}: {ms:.3f} ms", flush=True)
 

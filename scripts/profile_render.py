@@ -10,6 +10,7 @@ fetch. Per-op time = (t_K2 - t_K1) / (K2 - K1), which cancels RTT + transfer.
 from __future__ import annotations
 
 import json
+import math
 import os
 import subprocess
 import sys
@@ -29,6 +30,12 @@ RESULTS: dict = {"stages_ms": {}}
 
 
 def record(label: str, ms: float) -> None:
+    # Adaptive scan_time returns NaN when an op is too cheap to separate from
+    # tunnel jitter; a physically-impossible (<=0) or NaN row must never be
+    # published as a measurement — list it under "unresolved" instead.
+    if not math.isfinite(ms) or ms <= 0:
+        RESULTS.setdefault("unresolved_below_noise_floor", []).append(label)
+        return
     RESULTS["stages_ms"][label] = round(ms, 3)
 
 

@@ -18,6 +18,7 @@ Usage: python scripts/profile_train.py [--json TRAIN_BREAKDOWN.json]
 from __future__ import annotations
 
 import json
+import math
 import os
 import subprocess
 import sys
@@ -35,6 +36,12 @@ RESULTS: dict = {"stages_ms": {}}
 
 
 def record(label: str, ms: float) -> None:
+    # NaN (= below the adaptive timer's noise floor) and non-positive rows are
+    # never published as measurements; see signerf_tpu/utils/microbench.py.
+    if not math.isfinite(ms) or ms <= 0:
+        RESULTS.setdefault("unresolved_below_noise_floor", []).append(label)
+        print(f"  {label}: unresolved (below noise floor)")
+        return
     RESULTS["stages_ms"][label] = round(ms, 3)
     print(f"  {label}: {ms:.3f} ms")
 
@@ -60,7 +67,7 @@ def time_train_step(step_fn_builder, state_builder, images, key, K1=2, K2=10):
     return (tB - tA) / (K2 - K1)
 
 
-def main():
+def main(signerf_only: bool = False):
     print("devices:", jax.devices())
     from signerf_tpu.cameras.cameras import Cameras, RayBundle
     from signerf_tpu.engine.optimizers import OptimizersConfig, make_optimizer
@@ -91,6 +98,10 @@ def main():
     images = jnp.zeros((8, H, W, 3), jnp.uint8)
     opt = make_optimizer(OptimizersConfig(), params)
     key = jax.random.PRNGKey(2)
+
+    if signerf_only:
+        _signerf_sections(model, cfg, params, cams, images, key)
+        return
 
     # ---- 1. whole optimizer step (the bench number's numerator) ----------
     t_step = time_train_step(
@@ -341,6 +352,20 @@ def main():
     t_d = scan_time(data_step)
     record("pixel_sample_raygen_gather", t_d * 1e3)
 
+    _signerf_sections(model, cfg, params, cams, images, key)
+
+
+def _signerf_sections(model, cfg, params, cams, images, key):
+    """Sections 8-10: the signerf-method (product) regime — 16384 rays,
+    patch 32, LPIPS + gradient normals (reference signerf_config.py:27-29).
+    Runs standalone via --signerf for fast iteration."""
+    from signerf_tpu.engine.optimizers import OptimizersConfig, make_optimizer
+    from signerf_tpu.engine.train_step import (
+        SamplerSettings,
+        TrainState,
+        make_train_step,
+    )
+
     # ---- 8. signerf regime total (refine-phase model) -----------------------
     from signerf_tpu.data.datamanager import auto_micro_batches
     from signerf_tpu.models.signerf import SIGNeRFModel, SIGNeRFModelConfig
@@ -394,6 +419,7 @@ def main():
     for label, kw in [
         ("signerf_step_no_normals", dict(predict_normals=False)),
         ("signerf_step_no_lpips", dict(use_lpips=False)),
+        ("signerf_step_fast_normals", dict(fast_normals_losses=True)),
     ]:
         base = dict(
             predict_normals=True, use_lpips=True, use_l1=True,
@@ -417,6 +443,91 @@ def main():
         )
         record(label, t_v * 1e3)
         record(label + "_delta_vs_total", (t_sstep - t_v) * 1e3)
+
+    # ---- 10. direct sub-probes of the signerf-only stages -------------------
+    # 10a. LPIPS fwd+bwd on the exact patch batch (16 patches of 32x32; grad
+    # w.r.t. the predicted patches, which is the path that feeds the NeRF
+    # backward).
+    from signerf_tpu.ops.lpips import lpips
+
+    n_patches = s_rays // (32 * 32)
+    xp0 = jax.random.uniform(
+        jax.random.PRNGKey(20), (n_patches, 32, 32, 3)
+    ) * 2 - 1
+    yp0 = jax.random.uniform(
+        jax.random.PRNGKey(21), (n_patches, 32, 32, 3)
+    ) * 2 - 1
+    lp = smodel.lpips_params
+
+    def lpips_fwd(c):
+        return jnp.sum(lpips(lp, xp0 + c * 1e-9, yp0)) * 1e-9
+
+    record(f"lpips_fwd_{n_patches}patch32", scan_time(lpips_fwd) * 1e3)
+
+    def lpips_fwdbwd(c):
+        def f(x):
+            return jnp.sum(lpips(lp, x, yp0))
+
+        val, g = jax.value_and_grad(f)(xp0 + c * 1e-9)
+        return (val + jnp.sum(g)) * 1e-9
+
+    record(f"lpips_fwd_bwd_{n_patches}patch32", scan_time(lpips_fwdbwd) * 1e3)
+
+    # 10b. patch sampling + raygen + gather at the signerf batch.
+    from signerf_tpu.data.pixel_samplers import gather_pixels, sample_patches
+
+    H = int(cams.height)
+    W = int(cams.width)
+
+    def patch_data_step(c):
+        k = jax.random.fold_in(jax.random.PRNGKey(22), jnp.int32(c * 1e9))
+        idx = sample_patches(k, s_rays, 32, 8, H, W)
+        rb = cams.generate_rays_at(idx)
+        tgt = gather_pixels(images, idx).astype(jnp.float32) / 255.0
+        return (jnp.sum(rb.origins) + jnp.sum(tgt)) * 1e-9
+
+    record("patch_sample_raygen_gather_16384", scan_time(patch_data_step) * 1e3)
+
+    # 10c. analytic normals: density+geo+grad vs density+geo at the final
+    # field's sample count, fwd and fwd+bwd (differentiable dhat path = the
+    # exact-semantics training configuration).
+    from signerf_tpu.models.fields import factor_density_geo_and_grad
+
+    N_norm = (s_rays // micro) * cfg.num_nerf_samples_per_ray
+    posn = jax.random.uniform(
+        jax.random.PRNGKey(23), (s_rays // micro, cfg.num_nerf_samples_per_ray, 3)
+    ) * 2 - 1
+
+    def grad_fwd(c, diff):
+        d, geo, g = factor_density_geo_and_grad(
+            sparams["field"], posn + c * 1e-9, smodel.field,
+            differentiable_grad=diff,
+        )
+        return (jnp.sum(d) + jnp.sum(g)) * 1e-9
+
+    record(
+        f"normals_density_geo_grad_fwd_N{N_norm}",
+        scan_time(lambda c: grad_fwd(c, True)) * 1e3,
+    )
+
+    def grad_fwdbwd(c):
+        def f(fp):
+            d, geo, g = factor_density_geo_and_grad(
+                fp, posn + c * 1e-9, smodel.field, differentiable_grad=True
+            )
+            # orientation-loss-like consumer: normals from grad, plus the
+            # density path, so BOTH vjp routes stay live.
+            n = -g / jnp.sqrt(jnp.sum(g * g, -1, keepdims=True) + 1e-12)
+            return jnp.sum(d) + jnp.sum(n * 1e-3)
+
+        val, gr = jax.value_and_grad(f)(sparams["field"])
+        gsum = sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(gr))
+        return (val + gsum) * 1e-9
+
+    record(
+        f"normals_density_geo_grad_fwd_bwd_N{N_norm}",
+        scan_time(grad_fwdbwd) * 1e3,
+    )
 
 
 def write_json(path: str) -> None:
@@ -446,8 +557,8 @@ if __name__ == "__main__":
     if "--json" in sys.argv:
         idx = sys.argv.index("--json")
         if idx + 1 >= len(sys.argv) or sys.argv[idx + 1].startswith("--"):
-            sys.exit("usage: profile_train.py [--json OUTPUT_PATH]")
+            sys.exit("usage: profile_train.py [--json OUTPUT_PATH] [--signerf]")
         json_path = sys.argv[idx + 1]
-    main()
+    main(signerf_only="--signerf" in sys.argv)
     if json_path is not None:
         write_json(json_path)

@@ -233,6 +233,14 @@ def _flash_self_attention(q, k, v, sm_scale):
     if blocks is not None:
         bq = min(blocks[0], s_padded)
         bkv = min(blocks[1], s_padded)
+        if (s_padded % bq or s_padded % bkv) and FLASH_BLOCK_SIZES:
+            # A manual override that doesn't divide s_padded must not strand
+            # us on stock BlockSizes (measured ~3x slower than einsum at the
+            # sheet shapes) — fall back to the tuned table entry instead.
+            blocks = FLASH_BLOCK_TABLE.get(s_padded)
+            if blocks is not None:
+                bq = min(blocks[0], s_padded)
+                bkv = min(blocks[1], s_padded)
         if s_padded % bq == 0 and s_padded % bkv == 0:
             kwargs["block_sizes"] = BlockSizes(
                 block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
@@ -308,7 +316,9 @@ class CrossAttention(nn.Module):
         # OR when the padded S has a tuned tiling that measured faster than
         # einsum on v5e (FLASH_BLOCK_TABLE; tiny/test shapes stay einsum).
         s_padded = sq + (-sq) % 128
-        flash_wins = s_padded in FLASH_BLOCK_TABLE
+        # Table entries were measured at head_dim=64 (every SDXL self-attn
+        # layer); an exotic head_dim must not inherit those tilings.
+        flash_wins = s_padded in FLASH_BLOCK_TABLE and self.head_dim == 64
         out = None
         if (
             self_attn

@@ -121,72 +121,149 @@ class AttnBlock(nn.Module):
 
 
 class Encoder(nn.Module):
+    """Split into `down` (pure conv, full-res — the FLOP bulk) and `mid_out`
+    (mid resnets + ONE global attention + output convs, all at latent res)
+    so the windowed sheet-encode fast path can recompute `down` on just a
+    padded window around the changed cell while `mid_out` — the only
+    non-local stage — still sees the full assembled feature map. Param
+    names match the previous nn.compact layout exactly (checkpoint/
+    weight-conversion compatible)."""
+
     config: VAEConfig
     dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, x):
+    def setup(self):
         cfg = self.config
         chans = cfg.block_out_channels
-        h = nn.Conv(chans[0], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(x)
+        setattr(
+            self,
+            "conv_in",
+            nn.Conv(chans[0], (3, 3), padding=1, dtype=self.dtype),
+        )
         for i, ch in enumerate(chans):
             for j in range(cfg.layers_per_block):
-                h = ResnetBlock(
-                    ch, cfg.norm_groups, self.dtype, name=f"down_{i}_res_{j}"
-                )(h)
+                setattr(
+                    self,
+                    f"down_{i}_res_{j}",
+                    ResnetBlock(ch, cfg.norm_groups, self.dtype),
+                )
             if i < len(chans) - 1:
-                h = nn.Conv(
-                    ch,
-                    (3, 3),
-                    strides=(2, 2),
-                    padding=((0, 1), (0, 1)),
-                    dtype=self.dtype,
-                    name=f"down_{i}_downsample",
-                )(h)
-        h = ResnetBlock(chans[-1], cfg.norm_groups, self.dtype, name="mid_res_1")(h)
-        h = AttnBlock(cfg.norm_groups, self.dtype, name="mid_attn")(h)
-        h = ResnetBlock(chans[-1], cfg.norm_groups, self.dtype, name="mid_res_2")(h)
-        h = _gn(cfg.norm_groups, "conv_norm_out")(h)
+                setattr(
+                    self,
+                    f"down_{i}_downsample",
+                    nn.Conv(
+                        ch,
+                        (3, 3),
+                        strides=(2, 2),
+                        padding=((0, 1), (0, 1)),
+                        dtype=self.dtype,
+                    ),
+                )
+        self.mid_res_1 = ResnetBlock(chans[-1], cfg.norm_groups, self.dtype)
+        self.mid_attn = AttnBlock(cfg.norm_groups, self.dtype)
+        self.mid_res_2 = ResnetBlock(chans[-1], cfg.norm_groups, self.dtype)
+        self.conv_norm_out = _gn(cfg.norm_groups, None)
+        self.conv_out = nn.Conv(
+            2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype
+        )
+        self.quant_conv = nn.Conv(
+            2 * cfg.latent_channels, (1, 1), dtype=self.dtype
+        )
+
+    def down(self, x):
+        """[B, H, W, 3] -> conv-only features [B, H/2^k, W/2^k, C_last]."""
+        cfg = self.config
+        chans = cfg.block_out_channels
+        h = getattr(self, "conv_in")(x)
+        for i in range(len(chans)):
+            for j in range(cfg.layers_per_block):
+                h = getattr(self, f"down_{i}_res_{j}")(h)
+            if i < len(chans) - 1:
+                h = getattr(self, f"down_{i}_downsample")(h)
+        return h
+
+    def mid_out(self, h):
+        """Down-features -> (mean, logvar). Contains the global attention."""
+        h = self.mid_res_1(h)
+        h = self.mid_attn(h)
+        h = self.mid_res_2(h)
+        h = self.conv_norm_out(h)
         h = nn.silu(h)
-        h = nn.Conv(
-            2 * cfg.latent_channels, (3, 3), padding=1, dtype=self.dtype, name="conv_out"
-        )(h)
-        h = nn.Conv(
-            2 * cfg.latent_channels, (1, 1), dtype=self.dtype, name="quant_conv"
-        )(h)
+        h = self.conv_out(h)
+        h = self.quant_conv(h)
         mean, logvar = jnp.split(h, 2, axis=-1)
         return mean, logvar
 
+    def __call__(self, x):
+        return self.mid_out(self.down(x))
+
 
 class Decoder(nn.Module):
+    """Split into `mid` (input convs + mid resnets + the ONE global
+    attention, all at latent res) and `up` (pure conv upsampling — the
+    FLOP bulk at image res) so the windowed sheet-decode fast path can run
+    `mid` on the full latent and `up` on just the window whose pixels are
+    actually consumed. Param names match the previous layout exactly."""
+
     config: VAEConfig
     dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, z):
+    def setup(self):
         cfg = self.config
         chans = cfg.block_out_channels
-        h = nn.Conv(
-            cfg.latent_channels, (1, 1), dtype=self.dtype, name="post_quant_conv"
-        )(z)
-        h = nn.Conv(chans[-1], (3, 3), padding=1, dtype=self.dtype, name="conv_in")(h)
-        h = ResnetBlock(chans[-1], cfg.norm_groups, self.dtype, name="mid_res_1")(h)
-        h = AttnBlock(cfg.norm_groups, self.dtype, name="mid_attn")(h)
-        h = ResnetBlock(chans[-1], cfg.norm_groups, self.dtype, name="mid_res_2")(h)
+        self.post_quant_conv = nn.Conv(
+            cfg.latent_channels, (1, 1), dtype=self.dtype
+        )
+        setattr(
+            self,
+            "conv_in",
+            nn.Conv(chans[-1], (3, 3), padding=1, dtype=self.dtype),
+        )
+        self.mid_res_1 = ResnetBlock(chans[-1], cfg.norm_groups, self.dtype)
+        self.mid_attn = AttnBlock(cfg.norm_groups, self.dtype)
+        self.mid_res_2 = ResnetBlock(chans[-1], cfg.norm_groups, self.dtype)
         for i, ch in enumerate(reversed(chans)):
             for j in range(cfg.layers_per_block + 1):
-                h = ResnetBlock(
-                    ch, cfg.norm_groups, self.dtype, name=f"up_{i}_res_{j}"
-                )(h)
+                setattr(
+                    self,
+                    f"up_{i}_res_{j}",
+                    ResnetBlock(ch, cfg.norm_groups, self.dtype),
+                )
+            if i < len(chans) - 1:
+                setattr(
+                    self,
+                    f"up_{i}_upsample",
+                    nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype),
+                )
+        self.conv_norm_out = _gn(cfg.norm_groups, None)
+        self.conv_out = nn.Conv(3, (3, 3), padding=1, dtype=self.dtype)
+
+    def mid(self, z):
+        """Latents (unscaled) -> latent-res features [B, h, w, C_last]."""
+        h = self.post_quant_conv(z)
+        h = getattr(self, "conv_in")(h)
+        h = self.mid_res_1(h)
+        h = self.mid_attn(h)
+        h = self.mid_res_2(h)
+        return h
+
+    def up(self, h):
+        """Latent-res features -> image [B, H, W, 3] in [-1, 1]."""
+        cfg = self.config
+        chans = cfg.block_out_channels
+        for i, ch in enumerate(reversed(chans)):
+            for j in range(cfg.layers_per_block + 1):
+                h = getattr(self, f"up_{i}_res_{j}")(h)
             if i < len(chans) - 1:
                 b, hh, ww, c = h.shape
                 h = jax.image.resize(h, (b, hh * 2, ww * 2, c), "nearest")
-                h = nn.Conv(
-                    ch, (3, 3), padding=1, dtype=self.dtype, name=f"up_{i}_upsample"
-                )(h)
-        h = _gn(cfg.norm_groups, "conv_norm_out")(h)
+                h = getattr(self, f"up_{i}_upsample")(h)
+        h = self.conv_norm_out(h)
         h = nn.silu(h)
-        return nn.Conv(3, (3, 3), padding=1, dtype=self.dtype, name="conv_out")(h)
+        return self.conv_out(h)
+
+    def __call__(self, z):
+        return self.up(self.mid(z))
 
 
 class AutoencoderKL(nn.Module):
@@ -208,6 +285,32 @@ class AutoencoderKL(nn.Module):
     def decode(self, latents: jnp.ndarray) -> jnp.ndarray:
         """Scaled latents -> images [B, H, W, 3] in [-1, 1]."""
         return self.decoder(latents / self.config.scaling_factor)
+
+    # ---- staged entry points for the windowed sheet fast path ----------
+    # (see sdxl_pipeline.SheetEncodeCache: per-view regeneration changes
+    # only the sheet's last cell, so the full-res conv stages run on a
+    # padded window while the global attention runs at latent res.)
+
+    def encode_down(self, images: jnp.ndarray) -> jnp.ndarray:
+        """Conv-only encoder features (no attention, fully local)."""
+        return self.encoder.down(images)
+
+    def encode_from_features(self, feats: jnp.ndarray, rng=None) -> jnp.ndarray:
+        """Down-features -> scaled latents (mid attention + output convs)."""
+        mean, logvar = self.encoder.mid_out(feats)
+        if rng is not None:
+            std = jnp.exp(0.5 * jnp.clip(logvar, -30.0, 20.0))
+            mean = mean + std * jax.random.normal(rng, mean.shape, mean.dtype)
+        return mean * self.config.scaling_factor
+
+    def decode_mid(self, latents: jnp.ndarray) -> jnp.ndarray:
+        """Scaled latents -> latent-res decoder features (global attention
+        runs here, over the FULL latent)."""
+        return self.decoder.mid(latents / self.config.scaling_factor)
+
+    def decode_up(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """Latent-res decoder features -> image (conv-only, local)."""
+        return self.decoder.up(feats)
 
     def __call__(self, images, rng=None):
         z = self.encode(images, rng)
