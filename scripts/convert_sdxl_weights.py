@@ -86,7 +86,97 @@ def main() -> int:
     (out / "sdxl_params.msgpack").write_bytes(blob)
     print(f"wrote {out / 'sdxl_params.msgpack'} "
           f"({len(blob) / 1e9:.2f} GB) + tokenizer files")
+
+    print("dumping golden activations (torch CPU reference) ...")
+    dump_goldens(pipe, cn, out)
     return 0
+
+
+def _stats(arr) -> dict:
+    """Activation fingerprint: summary stats + a fixed slice. The jax side
+    (tests/test_weight_conversion.py::TestGoldenParity) recomputes these on
+    identical inputs and compares norm-relatively."""
+    import numpy as np
+
+    a = np.asarray(arr, np.float64).reshape(-1)
+    return {
+        "mean": float(a.mean()),
+        "std": float(a.std()),
+        "abs_mean": float(np.abs(a).mean()),
+        "slice": [float(x) for x in a[:: max(1, len(a) // 16)][:16]],
+        "shape": list(np.asarray(arr).shape),
+    }
+
+
+def golden_inputs():
+    """Deterministic f32 inputs shared by the torch dump and the jax test.
+    512px single-latent regime; NHWC — the torch side transposes."""
+    import numpy as np
+
+    r = np.random.RandomState(0)
+    return {
+        "latent": r.standard_normal((1, 64, 64, 4)).astype(np.float32),
+        "context": (r.standard_normal((1, 77, 2048)) * 0.5).astype(np.float32),
+        "pooled": (r.standard_normal((1, 1280)) * 0.5).astype(np.float32),
+        "time_ids": np.asarray([[512, 512, 0, 0, 512, 512]], np.float32),
+        "timestep": 500.0,
+        "image": (r.uniform(-1, 1, (1, 256, 256, 3))).astype(np.float32),
+        "cond_image": (r.uniform(0, 1, (1, 512, 512, 3))).astype(np.float32),
+        "token_ids": (np.arange(77) % 1000 + 100).reshape(1, 77),
+    }
+
+
+def dump_goldens(pipe, cn, out: Path) -> None:
+    """Write golden_activations.json: per-component fingerprints of the
+    DIFFUSERS torch models on `golden_inputs()`. The moment a weights dir
+    (with this file) is provided to the no-egress environment, the skipped
+    golden-parity test validates jax-vs-torch numerics as a switch-flip
+    (SURVEY.md §7 hard part (b))."""
+    import json
+
+    import numpy as np
+    import torch
+
+    gi = golden_inputs()
+    nchw = lambda a: torch.from_numpy(np.moveaxis(a, -1, 1).copy())  # noqa: E731
+    goldens = {}
+    with torch.no_grad():
+        lat = nchw(gi["latent"])
+        ctx = torch.from_numpy(gi["context"])
+        added = {
+            "text_embeds": torch.from_numpy(gi["pooled"]),
+            "time_ids": torch.from_numpy(gi["time_ids"]),
+        }
+        t = torch.tensor([gi["timestep"]])
+        goldens["unet"] = _stats(
+            pipe.unet(lat, t, encoder_hidden_states=ctx,
+                      added_cond_kwargs=added).sample.numpy()
+        )
+        down, mid = cn(
+            lat, t, encoder_hidden_states=ctx,
+            controlnet_cond=nchw(gi["cond_image"]),
+            added_cond_kwargs=added, return_dict=False,
+        )
+        goldens["controlnet_mid"] = _stats(mid.numpy())
+        goldens["controlnet_down_last"] = _stats(down[-1].numpy())
+        z = pipe.vae.encode(nchw(gi["image"])).latent_dist.mean
+        goldens["vae_encode"] = _stats(
+            (z * pipe.vae.config.scaling_factor).numpy()
+        )
+        goldens["vae_decode"] = _stats(
+            pipe.vae.decode(z).sample.numpy()
+        )
+        ids = torch.from_numpy(gi["token_ids"]).long()
+        goldens["clip_l_penultimate"] = _stats(
+            pipe.text_encoder(
+                ids, output_hidden_states=True
+            ).hidden_states[-2].numpy()
+        )
+        enc2 = pipe.text_encoder_2(ids, output_hidden_states=True)
+        goldens["clip_g_penultimate"] = _stats(enc2.hidden_states[-2].numpy())
+        goldens["clip_g_projected"] = _stats(enc2.text_embeds.numpy())
+    (out / "golden_activations.json").write_text(json.dumps(goldens, indent=1))
+    print(f"wrote {out / 'golden_activations.json'}")
 
 
 if __name__ == "__main__":

@@ -91,6 +91,100 @@ def main():
         "CFG branches (uncond + cond), each a UNet+ControlNet forward."
     )
 
+    # ---- the windowed last-cell fast path (SheetEncodeCache) --------------
+    # Per-view regeneration changes only the sheet's last cell and consumes
+    # only the last cell of the output, so the full-res VAE conv stages run
+    # on a padded window. Same inpaint, with the cache:
+    cell = 512
+    cache = pipe.prepare_sheet_cache(img, (cell, cell))
+
+    def run_inpaint_cached(steps: int) -> float:
+        def once(seed):
+            t0 = time.perf_counter()
+            out = pipe.img2img(
+                img, "a photo", mask=mask, control_image=cond,
+                num_steps=steps, seed=seed, device_out=True,
+                sheet_cache=cache,
+            )
+            np.asarray(jnp.sum(out))
+            return time.perf_counter() - t0
+
+        once(0)
+        return min(once(s) for s in (1, 2, 3))
+
+    t20c = run_inpaint_cached(20)
+    record("inpaint_20step_total_windowed_vae", t20c * 1e3)
+    t4c = run_inpaint_cached(4)
+    record("inpaint_4step_total_windowed_vae", t4c * 1e3)
+    per_step_c = (t20c - t4c) / 16.0
+    record(
+        "vae_prompt_blend_overhead_windowed",
+        (t4c - 4 * per_step_c) * 1e3,
+    )
+
+    # ---- split the overhead: encode / decode / prompt separately ----------
+    vparams = pipe.params["vae"]
+    img_dev = jnp.asarray(img)[None]
+
+    enc_fn = jax.jit(
+        lambda p, x: pipe.vae.apply({"params": p}, x * 2.0 - 1.0, method="encode")
+    )
+    z = enc_fn(vparams, img_dev)
+    np.asarray(jnp.sum(z))
+
+    def wall(fn, *args):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(jnp.sum(fn(*args)))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    record("vae_encode_full_sheet", wall(enc_fn, vparams, img_dev) * 1e3)
+
+    dec_fn = jax.jit(
+        lambda p, zz: pipe.vae.apply({"params": p}, zz, method="decode")
+    )
+    np.asarray(jnp.sum(dec_fn(vparams, z)))
+    record("vae_decode_full_sheet", wall(dec_fn, vparams, z) * 1e3)
+
+    # windowed variants at the same shapes the cached _run dispatches
+    eh, ew, sp_h, sp_w, dh, dw = cache.window_lat
+    f = pipe.config.vae_downscale
+    win_img = img_dev[:, -eh * f :, -ew * f :, :]
+
+    def enc_win(p, wi, feats):
+        wf = pipe.vae.apply({"params": p}, wi * 2.0 - 1.0, method="encode_down")
+        merged = feats.at[:, -sp_h:, -sp_w:, :].set(
+            wf[:, -sp_h:, -sp_w:, :].astype(feats.dtype)
+        )
+        return pipe.vae.apply({"params": p}, merged, method="encode_from_features")
+
+    enc_win_j = jax.jit(enc_win)
+    np.asarray(jnp.sum(enc_win_j(vparams, win_img, cache.down_feats)))
+    record(
+        "vae_encode_windowed",
+        wall(enc_win_j, vparams, win_img, cache.down_feats) * 1e3,
+    )
+
+    def dec_win(p, zz):
+        feats = pipe.vae.apply({"params": p}, zz, method="decode_mid")
+        return pipe.vae.apply(
+            {"params": p}, feats[:, -dh:, -dw:, :], method="decode_up"
+        )
+
+    dec_win_j = jax.jit(dec_win)
+    np.asarray(jnp.sum(dec_win_j(vparams, z)))
+    record("vae_decode_windowed", wall(dec_win_j, vparams, z) * 1e3)
+
+    # prompt encode (the per-view loop hits the cache; this is the one-time
+    # cost per distinct prompt)
+    pipe._prompt_cache.clear()
+    t0 = time.perf_counter()
+    ctx, pooled = pipe.encode_prompt("a photo", "")
+    np.asarray(jnp.sum(ctx))
+    record("prompt_encode_uncached", (time.perf_counter() - t0) * 1e3)
+
     # ---- raw attention at the sheet's sequence lengths --------------------
     from signerf_tpu.diffusion import unet as U
 

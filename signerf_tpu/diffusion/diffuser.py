@@ -89,6 +89,14 @@ class Diffuser:
 
     # ------------------------------------------------------------------
 
+    def prepare_sheet_cache(self, sheet_image, cell_hw):
+        """Cross-view VAE cache for the per-view loop (jax_sdxl only; other
+        modes return None and `diffuse(sheet_cache=...)` ignores it). See
+        sdxl_pipeline.SheetEncodeCache."""
+        if self.config.mode != "jax_sdxl":
+            return None
+        return self._get_sdxl().prepare_sheet_cache(sheet_image, cell_hw)
+
     def diffuse(
         self,
         original_image: np.ndarray,  # [H, W, 3] float
@@ -96,6 +104,7 @@ class Diffuser:
         mask_image: Optional[np.ndarray] = None,  # [H, W, 1] float
         condition_image: Optional[np.ndarray] = None,  # [H, W, 1] float
         device_out: bool = False,
+        sheet_cache=None,
     ) -> np.ndarray:
         """Edit `original_image` guided by the depth condition; returns
         [H, W, 3] float (same dims as the input, parity diffuser.py:188-193).
@@ -133,6 +142,7 @@ class Diffuser:
                 mask_image,
                 condition_image,
                 device_out=device_out,
+                sheet_cache=sheet_cache,
             )
         raise ValueError(f"unknown diffuser mode {mode!r}")
 
@@ -143,6 +153,7 @@ class Diffuser:
         mask_images: Optional[np.ndarray] = None,  # [K, H, W, 1]
         condition_images: Optional[np.ndarray] = None,
         device_out: bool = False,
+        sheet_cache=None,
     ) -> np.ndarray:
         """Batched edit. jax_sdxl diffuses all K images in ONE jitted call
         (the per-view generation fast path); other modes loop."""
@@ -150,6 +161,7 @@ class Diffuser:
             cfg = self.config
             pipe = self._get_sdxl()
             out = pipe.img2img(
+                    sheet_cache=sheet_cache,
                     image=original_images,
                     prompt=cfg.prompt,
                     negative_prompt=cfg.negative_prompt,
@@ -194,11 +206,13 @@ class Diffuser:
         return self._sdxl
 
     def _diffuse_jax_sdxl(
-        self, original, rendered, mask, condition, device_out: bool = False
+        self, original, rendered, mask, condition, device_out: bool = False,
+        sheet_cache=None,
     ) -> np.ndarray:
         cfg = self.config
         pipe = self._get_sdxl()
         out = pipe.img2img(
+            sheet_cache=sheet_cache,
             image=original,
             prompt=cfg.prompt,
             negative_prompt=cfg.negative_prompt,

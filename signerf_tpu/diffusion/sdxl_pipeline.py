@@ -100,6 +100,47 @@ def _worst_selfattn_scores(ucfg: UNetConfig, lat_h: int, lat_w: int) -> int:
     )
 
 
+@dataclasses.dataclass
+class SheetEncodeCache:
+    """Cross-view VAE work cache for per-view sheet regeneration.
+
+    The per-view loop (SURVEY.md §3.2; reference datasetgenerator.py:637-659)
+    re-diffuses the SAME reference sheet ~100 times with only the LAST cell
+    changed, and only the last cell of the output is consumed. The VAE is
+    pure convolution except one global attention at latent resolution, so:
+
+      * encode: the conv-only `encoder.down` features of the base sheet are
+        cached; per view, `down` reruns on just a padded window around the
+        last cell and the result is spliced in. The window's context margin
+        exceeds the down-path receptive field (~8.5 latent px for the SDXL
+        VAE: 68 input px), so splice-interior features are exact; the global
+        mid attention then runs over the full assembled feature map. The
+        only deviation from a full encode is GroupNorm batch statistics
+        being computed over the window instead of the full sheet (same
+        deviation class as diffusers' enable_tiling, which ships as a
+        standard quality-accepted path).
+      * decode: `decoder.mid` (the global attention) runs on the full
+        latent; the expensive image-res `decoder.up` runs only on a padded
+        window whose pixels are actually consumed (~17% of the sheet area).
+
+    Build with `SDXLInpaintPipeline.prepare_sheet_cache`.
+    """
+
+    down_feats: Any  # [1, Hl, Wl, C] conv-only encoder features (device)
+    sheet_hw: Tuple[int, int]  # (H, W) pixels
+    cell_hw: Tuple[int, int]  # last-cell (h, w) pixels
+    window_lat: Tuple[int, int, int, int, int, int]
+    # (enc_wh, enc_ww, splice_h, splice_w, dec_wh, dec_ww) in latent units
+
+
+# Latent-unit margins for the windowed sheet fast path. The SDXL VAE's
+# conv receptive half-width is ~8.5 latent px on the encoder down path and
+# ~12.5 on the decoder up path; 16 covers both with slack.
+LASTCELL_ENC_CTX_PAD_LAT = 16  # context ring feeding the splice interior
+LASTCELL_ENC_SPLICE_PAD_LAT = 16  # splice region beyond the cell itself
+LASTCELL_DEC_PAD_LAT = 16  # decode window beyond the cell
+
+
 class SDXLInpaintPipeline:
     """Holds module defs + params and exposes `img2img`."""
 
@@ -247,6 +288,49 @@ class SDXLInpaintPipeline:
         return out
 
     # ------------------------------------------------------------------
+    # windowed last-cell fast path (see SheetEncodeCache)
+    # ------------------------------------------------------------------
+
+    def prepare_sheet_cache(
+        self, image: np.ndarray, cell_hw: Tuple[int, int]
+    ) -> SheetEncodeCache:
+        """Encode-down the base sheet ONCE for the per-view loop.
+
+        `image`: [H, W, 3] float [0, 1] — the reference sheet (the content
+        of its last cell is irrelevant: the per-view splice region plus its
+        context margin covers every feature the cell can influence).
+        `cell_hw`: last-cell (height, width) in pixels.
+        """
+        f = self.config.vae_downscale
+        img = jnp.asarray(image, jnp.float32)[None]
+        _, h, w = img.shape[:3]
+        assert h % f == 0 and w % f == 0, (h, w, f)
+        hl, wl = h // f, w // f
+        if not hasattr(self, "_jit_encode_down"):
+            self._jit_encode_down = jax.jit(
+                lambda p, x: self.vae.apply(
+                    {"params": p}, x * 2.0 - 1.0, method="encode_down"
+                )
+            )
+        feats = self._jit_encode_down(self.params["vae"], img)
+
+        def dims(cell_px, full_lat):
+            cell_lat = -((-cell_px) // f)  # ceil
+            splice = min(cell_lat + LASTCELL_ENC_SPLICE_PAD_LAT, full_lat)
+            enc_w = min(splice + LASTCELL_ENC_CTX_PAD_LAT, full_lat)
+            dec_w = min(cell_lat + LASTCELL_DEC_PAD_LAT, full_lat)
+            return enc_w, splice, dec_w
+
+        eh, sh_, dh = dims(cell_hw[0], hl)
+        ew, sw_, dw = dims(cell_hw[1], wl)
+        return SheetEncodeCache(
+            down_feats=feats,
+            sheet_hw=(h, w),
+            cell_hw=tuple(cell_hw),
+            window_lat=(eh, ew, sh_, sw_, dh, dw),
+        )
+
+    # ------------------------------------------------------------------
     # main entry
     # ------------------------------------------------------------------
 
@@ -268,8 +352,17 @@ class SDXLInpaintPipeline:
         inpainting_fill: int = 1,
         control_mode: str = "balanced",
         device_out: bool = False,
+        sheet_cache: Optional[SheetEncodeCache] = None,
     ) -> np.ndarray:
         """Edit one image or a whole batch in ONE jitted program.
+
+        With `sheet_cache` (per-view regeneration fast path, single image
+        whose dims match the cache): VAE encode reruns only on a padded
+        window around the last cell (spliced into the cached features) and
+        VAE decode renders only the window whose pixels are consumed — the
+        return value is then the decoded BOTTOM-RIGHT WINDOW
+        [dec_wh*f, dec_ww*f, 3] (containing the last cell at its own
+        bottom-right corner), not the full sheet.
 
         Batched inputs (leading K) are the per-view generation fast path
         (SURVEY.md §3.2 hot-loop note): K spliced sheets diffuse together,
@@ -340,6 +433,7 @@ class SDXLInpaintPipeline:
                             controlnet_end, seed, mask_blur,
                             inpainting_fill, control_mode,
                             device_out=device_out,
+                            sheet_cache=sheet_cache,
                         )
                         for k in range(k_batch)
                     ]
@@ -389,15 +483,28 @@ class SDXLInpaintPipeline:
         if control_mode not in ("balanced", "prompt", "controlnet"):
             raise ValueError(f"unknown control_mode {control_mode!r}")
 
+        # Windowed last-cell path only applies to a single sheet whose dims
+        # match the cache (batched programs fall back to the full path).
+        window_lat = None
+        down_feats = None
+        if (
+            sheet_cache is not None
+            and k_batch == 1
+            and msk is not None
+            and (h, w) == tuple(sheet_cache.sheet_hw)
+        ):
+            window_lat = tuple(sheet_cache.window_lat)
+            down_feats = sheet_cache.down_feats
+
         key = (
             k_batch, h, w, len(sigmas_np), msk is not None, mask_blur,
-            inpainting_fill, control_mode,
+            inpainting_fill, control_mode, window_lat,
         )
         run = self._jit_cache.get(key)
         if run is None:
-            # mask_blur / inpainting_fill / control_mode drive python-level
-            # control flow.
-            run = jax.jit(self._run, static_argnums=(14, 15, 16))
+            # mask_blur / inpainting_fill / control_mode / window_lat drive
+            # python-level control flow.
+            run = jax.jit(self._run, static_argnums=(14, 15, 16, 18))
             self._jit_cache[key] = run
         if self.mesh is not None:
             from signerf_tpu.diffusion import unet as unet_mod
@@ -431,6 +538,8 @@ class SDXLInpaintPipeline:
                 mask_blur,
                 inpainting_fill,
                 control_mode,
+                down_feats,
+                window_lat,
             )
         # nan_to_num: with *random-init* weights the eps prediction is
         # unbounded and the ancestral chain can diverge; real weights keep
@@ -462,6 +571,8 @@ class SDXLInpaintPipeline:
         mask_blur: int,
         inpainting_fill: int,
         control_mode: str = "balanced",
+        down_cache=None,
+        window_lat: Optional[Tuple[int, int, int, int, int, int]] = None,
     ):
         cfg = self.config
         f = cfg.vae_downscale
@@ -473,20 +584,39 @@ class SDXLInpaintPipeline:
         )(image, blurred)
 
         k_enc, k_fill, k_sample = jax.random.split(rng, 3)
-        # VAE encode/decode are per-image independent and their full-res
-        # activations dominate peak HBM (measured: batch-2 decode of a
-        # 1536px sheet needs ~21 GB vs 15.75 available). lax.map
-        # sequentializes over the batch so peak memory is single-image
-        # regardless of generation_batch_size; the UNet denoise loop below
-        # stays batched where the MXU win actually is.
-        init_latent = jax.lax.map(
-            lambda im: self.vae.apply(
-                {"params": params["vae"]},
-                (im[None] * 2.0 - 1.0),
-                method="encode",
-            )[0],
-            filled,
-        )  # [K, h/f, w/f, C]
+        if window_lat is not None:
+            # Windowed last-cell encode (SheetEncodeCache): rerun the
+            # conv-only down path on the bottom-right window, splice the
+            # interior into the cached base-sheet features, then run the
+            # global mid attention over the full assembled map.
+            eh, ew, sp_h, sp_w, _, _ = window_lat
+            win = filled[:, h - eh * f :, w - ew * f :, :]
+            wfeats = self.vae.apply(
+                {"params": params["vae"]}, win * 2.0 - 1.0,
+                method="encode_down",
+            )
+            feats = down_cache.at[:, -sp_h:, -sp_w:, :].set(
+                wfeats[:, -sp_h:, -sp_w:, :].astype(down_cache.dtype)
+            )
+            init_latent = self.vae.apply(
+                {"params": params["vae"]}, feats,
+                method="encode_from_features",
+            )  # [1, h/f, w/f, C]
+        else:
+            # VAE encode/decode are per-image independent and their full-res
+            # activations dominate peak HBM (measured: batch-2 decode of a
+            # 1536px sheet needs ~21 GB vs 15.75 available). lax.map
+            # sequentializes over the batch so peak memory is single-image
+            # regardless of generation_batch_size; the UNet denoise loop
+            # below stays batched where the MXU win actually is.
+            init_latent = jax.lax.map(
+                lambda im: self.vae.apply(
+                    {"params": params["vae"]},
+                    (im[None] * 2.0 - 1.0),
+                    method="encode",
+                )[0],
+                filled,
+            )  # [K, h/f, w/f, C]
 
         latent_mask = jax.image.resize(
             blurred, (k_batch, h // f, w // f, 1), "linear"
@@ -594,12 +724,25 @@ class SDXLInpaintPipeline:
         final = S.sample_euler_ancestral(
             k_sample, denoised_fn, init_latent, sigmas, inpaint
         )
-        decoded = jax.lax.map(
-            lambda z: self.vae.apply(
-                {"params": params["vae"]}, z[None], method="decode"
-            )[0],
-            final,
-        )
+        if window_lat is not None:
+            # Global attention over the FULL latent, image-res convs over
+            # only the consumed window.
+            _, _, _, _, dec_h, dec_w = window_lat
+            dfeats = self.vae.apply(
+                {"params": params["vae"]}, final, method="decode_mid"
+            )
+            decoded = self.vae.apply(
+                {"params": params["vae"]},
+                dfeats[:, -dec_h:, -dec_w:, :],
+                method="decode_up",
+            )  # [1, dec_h*f, dec_w*f, 3]
+        else:
+            decoded = jax.lax.map(
+                lambda z: self.vae.apply(
+                    {"params": params["vae"]}, z[None], method="decode"
+                )[0],
+                final,
+            )
         return (decoded + 1.0) / 2.0
 
 

@@ -111,6 +111,18 @@ class DatasetGeneratorConfig:
     is ~2x faster there, see sdxl_pipeline.img2img); batching still wins
     below the threshold and on data-parallel meshes."""
 
+    lastcell_vae_window: bool = True
+    """Per-view VAE fast path (jax_sdxl only): between views only the
+    sheet's LAST cell changes and only the last cell of the output is
+    consumed, so the full-res VAE conv stages rerun on just a padded
+    window around that cell — the cross-view encoder features are cached
+    and the decoder renders only the consumed window; the VAE's one global
+    attention still runs over the full latent each view
+    (sdxl_pipeline.SheetEncodeCache). Deviation from the full path is
+    limited to GroupNorm statistics seen over the window instead of the
+    full sheet (the same class of deviation as diffusers' enable_tiling).
+    False = always run the full-sheet VAE."""
+
 
 class DatasetGenerator:
     def __init__(
@@ -460,6 +472,22 @@ class DatasetGenerator:
     # per-view generation (parity: :597-674)
     # ------------------------------------------------------------------
 
+    def _cell_from_edited(self, lo, edited: jnp.ndarray) -> jnp.ndarray:
+        """Last cell from either a full edited sheet or a bottom-right
+        decode window (the `lastcell_vae_window` fast path returns only the
+        consumed window; the sheet's /8 padding puts the cell up to 7 px in
+        from the bottom-right corner, accounted for here)."""
+        if edited.shape[:2] == (lo.height, lo.width):
+            return extract_last_cell(lo, edited)
+        rs, cs = lo.cell_slice(lo.last_index)
+        off_h = lo.height - rs.stop  # /8-padding below the cell
+        off_w = lo.width - cs.stop
+        wh, ww = edited.shape[:2]
+        return edited[
+            wh - off_h - lo.cell_height : wh - off_h,
+            ww - off_w - lo.cell_width : ww - off_w,
+        ]
+
     def generate_with_reference_sheet(
         self,
         cameras: Cameras,
@@ -468,6 +496,7 @@ class DatasetGenerator:
         image_sheet: jnp.ndarray,
         cond_sheet: jnp.ndarray,
         decoded: Optional[jnp.ndarray] = None,
+        sheet_cache=None,
     ) -> Dict[str, jnp.ndarray]:
         c = self.config
         lo = self._layout()
@@ -493,10 +522,11 @@ class DatasetGenerator:
                 mask_sheet,
                 cond_sheet2,
                 device_out=True,
+                sheet_cache=sheet_cache,
             ),
             jnp.float32,
         )
-        edited_scaled = extract_last_cell(lo, edited_sheet)
+        edited_scaled = self._cell_from_edited(lo, edited_sheet)
         edited_scaled = blend_with_mask(edited_scaled, r_s, m_s)
         edited = resize_bilinear(edited_scaled, int(c.height), int(c.width))
 
@@ -519,6 +549,7 @@ class DatasetGenerator:
         image_sheet: jnp.ndarray,
         cond_sheet: jnp.ndarray,
         decodeds: Optional[List[Optional[jnp.ndarray]]] = None,
+        sheet_cache=None,
     ) -> List[Dict[str, jnp.ndarray]]:
         """Batched per-view generation: splice K views into K copies of the
         sheet and diffuse them in one call (`Diffuser.diffuse_batch`).
@@ -552,12 +583,15 @@ class DatasetGenerator:
         batch_m = stack([s if device else np.asarray(s) for s in sheets_m])
         batch_c = stack([s if device else np.asarray(s) for s in sheets_c])
         edited_sheets = self.diffuser.diffuse_batch(
-            batch_i, batch_i, batch_m, batch_c, device_out=device
+            batch_i, batch_i, batch_m, batch_c, device_out=device,
+            sheet_cache=sheet_cache,
         )
 
         out = []
         for k, (render, mask, cond, r_s, m_s, c_s) in enumerate(views):
-            edited_scaled = extract_last_cell(lo, jnp.asarray(edited_sheets[k]))
+            edited_scaled = self._cell_from_edited(
+                lo, jnp.asarray(edited_sheets[k])
+            )
             edited_scaled = blend_with_mask(edited_scaled, r_s, m_s)
             edited = resize_bilinear(edited_scaled, int(c.height), int(c.width))
             out.append(
@@ -714,6 +748,16 @@ class DatasetGenerator:
 
         transforms["generated_indices"] = []
         bsz = max(1, int(c.generation_batch_size))
+        # Cross-view VAE cache: the per-view loop splices every view into
+        # the same `edited_sheet`, so its conv-only encoder features are
+        # computed ONCE here and each view re-encodes only the last-cell
+        # window (see DatasetGeneratorConfig.lastcell_vae_window).
+        sheet_cache = None
+        if c.lastcell_vae_window:
+            lo_cache = self._layout()
+            sheet_cache = self.diffuser.prepare_sheet_cache(
+                edited_sheet, (lo_cache.cell_height, lo_cache.cell_width)
+            )
         t_prev = time.time()
         prefetched: Dict[int, Any] = {}
         self._prefetch_originals(
@@ -738,6 +782,7 @@ class DatasetGenerator:
                     self.generate_with_reference_sheet(
                         gen_cams, chunk[0], gen_filenames[chunk[0]],
                         edited_sheet, cond_sheet, decoded=decoded[0],
+                        sheet_cache=sheet_cache,
                     )
                 ]
             else:
@@ -748,6 +793,7 @@ class DatasetGenerator:
                     edited_sheet,
                     cond_sheet,
                     decodeds=decoded,
+                    sheet_cache=sheet_cache,
                 )
             for i, images in zip(chunk, images_list):
                 transforms = self.save_generated_images(

@@ -393,39 +393,29 @@ def factor_density_geo_and_grad(
     from signerf_tpu.ops import fused_factor_pallas as ffp
     from signerf_tpu.ops.factor_grid import (
         _encode_fused,
-        grad_encode_fused,
         use_fused_kernel,
     )
 
-    if use_fused_kernel() or ffp.FORCE_INTERPRET:
+    fused = use_fused_kernel() or ffp.FORCE_INTERPRET
+    dfeat01 = None
+    if fused:
         # Fused Pallas path: primal through the differentiable encode kernel
-        # (custom_vjp), spatial derivatives through the fused grad kernel.
-        # differentiable_grad picks which grad wrapper:
-        #   False -> forward-only kernel, dfeat stop_gradient'd (eval /
-        #            fast_normals_losses deviation);
-        #   True  -> grad_encode_fused, whose custom_vjp backward is the
-        #            analytic Pallas VJP kernel (reference orientation-loss
-        #            semantics backprop through the normals into the lines).
-        # Either way this avoids the XLA branch's 6 [N, res] HBM
-        # materializations per level in the forward.
+        # (custom_vjp); spatial derivatives through the CONTRACTED grad-dot
+        # kernel (grad_encode_dot) below — only the density channel's
+        # spatial gradient is consumed, so the kernel contracts
+        # dfeat01 [N, 3, D] with the MLP's density-vs-features VJP row in
+        # VMEM and emits just [N, 3] (round-5: the uncontracted
+        # grad_encode_fused path's [N, 3, D] HBM round-trips were 39.4 ms
+        # of the 92 ms signerf step). differentiable_grad=True keeps the
+        # kernel's custom_vjp live (reference orientation-loss semantics
+        # backprop through the normals into the lines AND the MLP weights
+        # via grad_g); False detaches the contraction output (eval /
+        # fast_normals_losses).
         lines_t = tuple(
             tuple(enc_params[f"line_{lvl}_{ax}"] for ax in range(3))
             for lvl in range(len(cfg.resolutions))
         )
         feat = _encode_fused(cfg, lines_t, pos01)  # [N, D]
-        if differentiable_grad:
-            dfeat01 = grad_encode_fused(cfg, lines_t, pos01)  # [N, 3, D]
-        else:
-            packed = ffp.pack_tables(cfg.resolutions, lines_t)
-            dfeat01 = jax.lax.stop_gradient(
-                ffp.fused_factor_grad_tpu(
-                    cfg.resolutions,
-                    cfg.features_per_level,
-                    packed,
-                    pos01,
-                    ffp.FORCE_INTERPRET,
-                )
-            )  # [N, 3, D]
     else:
         feats = []
         dfeats01 = []  # derivative wrt pos01 axes
@@ -449,11 +439,9 @@ def factor_density_geo_and_grad(
         feat = jnp.concatenate(feats, axis=-1).astype(jnp.float32)  # [N, D]
         dfeat01 = jnp.concatenate(dfeats01, axis=-1).astype(jnp.float32)
 
-    # chain rule to world axes: dfeat/dx_i = sum_j dfeat01[:, j] * J[:, j, i]
     jac = jnp.stack(jac_cols, axis=-1)  # [N, 3(pos01 j), 3(world i)]
-    dfeat_x = jnp.einsum("njd,nji->nid", dfeat01, jac)  # [N, 3, D]
 
-    # base MLP forward + manual tangents (2 Dense + ReLU)
+    # base MLP forward (2 Dense + ReLU)
     mlp = field_params["mlp_base"]
     w0 = mlp["dense_0"]["kernel"].astype(dtype)
     b0 = mlp["dense_0"]["bias"].astype(dtype)
@@ -464,10 +452,28 @@ def factor_density_geo_and_grad(
     a0 = jnp.maximum(h0, 0)
     h1 = (a0 @ w1 + b1).astype(jnp.float32)  # [N, 1+G]
     relu_mask = (h0 > 0).astype(dtype)
-    dh = (
-        (dfeat_x.astype(dtype) @ w0) * relu_mask[:, None, :]
-    ) @ w1  # [N, 3, 1+G]
-    dh0 = dh[..., 0].astype(jnp.float32)  # [N, 3]
+
+    if fused:
+        # Density-channel VJP row through the MLP:
+        # g[n, d] = sum_k w0[d, k] * relu_mask[n, k] * w1[k, 0]; then the
+        # grad-dot kernel contracts it against dfeat01 in VMEM:
+        # s01[n, j] = d h1_0 / d pos01_j. Chain to world axes afterwards.
+        from signerf_tpu.ops.factor_grid import grad_encode_dot
+
+        m = relu_mask * w1[:, 0][None, :]  # [N, H]
+        g = (m @ w0.T).astype(jnp.float32)  # [N, D]
+        s01 = grad_encode_dot(cfg, lines_t, pos01, g)  # [N, 3]
+        if not differentiable_grad:
+            s01 = jax.lax.stop_gradient(s01)
+        dh0 = jnp.einsum("nj,nji->ni", s01, jac).astype(jnp.float32)
+    else:
+        # chain rule to world axes:
+        # dfeat/dx_i = sum_j dfeat01[:, j] * J[:, j, i]
+        dfeat_x = jnp.einsum("njd,nji->nid", dfeat01, jac)  # [N, 3, D]
+        dh = (
+            (dfeat_x.astype(dtype) @ w0) * relu_mask[:, None, :]
+        ) @ w1  # [N, 3, 1+G]
+        dh0 = dh[..., 0].astype(jnp.float32)  # [N, 3]
 
     raw = h1[..., 0] - 1.0
     density = field.average_init_density * trunc_exp(raw)

@@ -400,6 +400,78 @@ def _grad_encode_fused_bwd(cfg, residuals, ct):
 grad_encode_fused.defvjp(_grad_encode_fused_fwd, _grad_encode_fused_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def grad_encode_dot(
+    cfg: FactorGridConfig, lines, x01: jnp.ndarray, g: jnp.ndarray
+) -> jnp.ndarray:
+    """Contracted differentiable spatial-derivative encode:
+    s[n, ax] = <d feat / d pos01_ax, g[n]> -> [N, 3].
+
+    The training loss consumes only the DENSITY channel's spatial gradient
+    (gradient normals); with g the MLP's density-vs-features VJP row, this
+    replaces `grad_encode_fused`'s [N, 3, D] output (plus two more [N, 3, D]
+    chain intermediates outside the kernel) with a single [N, 3] result —
+    round-5 profiling measured the normals path at 39.4 ms of the 92 ms
+    signerf step, dominated by that HBM traffic. Backward flows into the
+    line tables, the coords, AND g (so the MLP weights still receive their
+    orientation-loss gradient), matching reference loss semantics
+    (nerfstudio backprops through gradient normals into the density field;
+    /root/reference/signerf/signerf.py:65-79 consumes them via
+    rendered_orientation_loss)."""
+    from signerf_tpu.ops import fused_factor_pallas as ffp
+
+    if use_fused_kernel() or ffp.FORCE_INTERPRET:
+        packed = ffp.pack_tables(cfg.resolutions, lines)
+        return ffp.fused_factor_grad_dot_tpu(
+            cfg.resolutions,
+            cfg.features_per_level,
+            packed,
+            x01,
+            g,
+            ffp.FORCE_INTERPRET,
+        )
+    return jnp.einsum(
+        "njd,nd->nj", dfeat01_reference(cfg, lines, x01), g.astype(jnp.float32)
+    )
+
+
+def _grad_encode_dot_fwd(cfg, lines, x01, g):
+    return grad_encode_dot(cfg, lines, x01, g), (lines, x01, g)
+
+
+def _grad_encode_dot_bwd(cfg, residuals, ct):
+    lines, x01, g = residuals
+    from signerf_tpu.ops import fused_factor_pallas as ffp
+
+    if use_fused_kernel() or ffp.FORCE_INTERPRET:
+        packed = ffp.pack_tables(cfg.resolutions, lines)
+        grad_packed, grad_x, grad_g = ffp.fused_factor_grad_dot_bwd_tpu(
+            cfg.resolutions,
+            cfg.features_per_level,
+            packed,
+            x01,
+            g,
+            ct,
+            ffp.FORCE_INTERPRET,
+        )
+        grad_lines = ffp.unpack_table_grads(
+            cfg.resolutions, grad_packed, cfg.features_per_level
+        )
+        return grad_lines, grad_x, grad_g.astype(g.dtype)
+    _, vjp = jax.vjp(
+        lambda l, x, gg: jnp.einsum(
+            "njd,nd->nj", dfeat01_reference(cfg, l, x), gg.astype(jnp.float32)
+        ),
+        lines,
+        x01,
+        g,
+    )
+    return vjp(ct)
+
+
+grad_encode_dot.defvjp(_grad_encode_dot_fwd, _grad_encode_dot_bwd)
+
+
 # ---------------------------------------------------------------------------
 # fused encode + density-MLP (encode fused with the 2-layer bf16 head)
 # ---------------------------------------------------------------------------

@@ -920,6 +920,429 @@ def fused_factor_grad_bwd_tpu(
 
 
 # ---------------------------------------------------------------------------
+# contracted spatial-derivative ("grad-dot") kernels
+# ---------------------------------------------------------------------------
+#
+# The training loss consumes ONLY the density channel's spatial gradient
+# (gradient normals, models/nerfacto.py): ddensity/du = <dfeat/du, g> with
+# g = d density_raw / d feat — the [N, D] MLP VJP row. Emitting the full
+# dfeat/du [N, 3, D] (fused_factor_grad_tpu) and contracting outside costs
+# two ~[N, 3, D] f32 HBM round-trips per signerf micro-batch (~600 MB at
+# N=393k); round-5 profiling attributed 39.4 ms of the 92 ms signerf step
+# to the normals path, dominated by exactly this traffic. These kernels
+# contract with g INSIDE VMEM and emit only [N, 3]:
+#
+#   forward:  s[n, ax] = sum_d dfeat01[n, ax, d] * g[n, d]
+#   backward: cotangent ct [N, 3] expands to the rank-1 effective cotangent
+#             ct[n, ax] * g[n, d] against the table/coords VJPs (reusing the
+#             _make_grad_bwd_kernel contraction structure), plus
+#             grad_g[n, d] = sum_ax ct[n, ax] * dfeat01[n, ax, d]
+#             so reverse-mode also flows into the MLP weights through g.
+
+
+def _make_grad_dot_kernel(resolutions: Tuple[int, ...], feat: int, blk: int):
+    small_res, large_res = _split_levels(resolutions)
+    n_small = len(small_res)
+    c_s = n_small * feat
+
+    def kernel(coords_ref, g_ref, scale_ref, offset_ref, small_x, small_y,
+               small_z, *large_refs, out_ref):
+        smalls = (small_x, small_y, small_z)
+        acc = [
+            jnp.zeros((1, blk), jnp.float32),
+            jnp.zeros((1, blk), jnp.float32),
+            jnp.zeros((1, blk), jnp.float32),
+        ]
+        if n_small:
+            fs, ds = [], []
+            for ax in range(3):
+                u = coords_ref[ax : ax + 1, :]
+                z = scale_ref[:, :] * u - offset_ref[:, :]
+                hat = jnp.maximum(0.0, 1.0 - jnp.abs(z)).astype(jnp.bfloat16)
+                dhat = (
+                    -jnp.sign(z)
+                    * (jnp.abs(z) < 1.0).astype(jnp.float32)
+                    * scale_ref[:, :]
+                ).astype(jnp.bfloat16)
+                fs.append(
+                    jax.lax.dot_general(
+                        smalls[ax][:, :], hat, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+                ds.append(
+                    jax.lax.dot_general(
+                        smalls[ax][:, :], dhat, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            gw = g_ref[0:c_s, :]
+            for ax in range(3):
+                o1, o2 = (ax + 1) % 3, (ax + 2) % 3
+                acc[ax] += jnp.sum(
+                    ds[ax] * fs[o1] * fs[o2] * gw, axis=0, keepdims=True
+                )
+        for li, res in enumerate(large_res):
+            r1 = _num_blocks(res)
+            r1_pad = _round_up(r1, 8)
+            f_l, d_l = [], []
+            for ax in range(3):
+                u = coords_ref[ax : ax + 1, :]
+                blocks = large_refs[li * 3 + ax]
+                xl = u * (res - 1)
+                a = jnp.clip(jnp.floor(xl * (1.0 / TAP_BLOCK)), 0, r1 - 1)
+                x_loc = xl - a * TAP_BLOCK
+                sub = jax.lax.broadcasted_iota(jnp.int32, (r1_pad, blk), 0)
+                onehot = (sub.astype(jnp.float32) == a).astype(jnp.bfloat16)
+                t1 = jax.lax.dot_general(
+                    blocks[:, :], onehot, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                facc = dacc = None
+                for c in range(TAP_BLOCK + 1):
+                    d = x_loc - c
+                    w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+                    dw = (
+                        -jnp.sign(d)
+                        * (jnp.abs(d) < 1.0).astype(jnp.float32)
+                        * (res - 1)
+                    )
+                    t = t1[c * feat : (c + 1) * feat, :]
+                    facc = w * t if facc is None else facc + w * t
+                    dacc = dw * t if dacc is None else dacc + dw * t
+                f_l.append(facc)
+                d_l.append(dacc)
+            off = (n_small + li) * feat
+            gw = g_ref[off : off + feat, :]
+            for ax in range(3):
+                o1, o2 = (ax + 1) % 3, (ax + 2) % 3
+                acc[ax] += jnp.sum(
+                    d_l[ax] * f_l[o1] * f_l[o2] * gw, axis=0, keepdims=True
+                )
+        out_ref[:, :] = jnp.concatenate(
+            acc + [jnp.zeros((5, blk), jnp.float32)], axis=0
+        )
+
+    return kernel, small_res, large_res
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 5))
+def fused_factor_grad_dot_tpu(
+    resolutions: Tuple[int, ...],
+    feat: int,
+    packed: Tuple,
+    coords01: jnp.ndarray,  # [N, 3] f32, pre-clipped
+    g: jnp.ndarray,  # [N, D] f32 feature cotangent (MLP VJP row)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """-> s [N, 3] f32 with s[n, ax] = <dfeat01[n, ax, :], g[n, :]>."""
+    blk = 1024
+    n = coords01.shape[0]
+    out_dim = len(resolutions) * feat
+    assert g.shape == (n, out_dim), (g.shape, n, out_dim)
+    n_pad = _round_up(max(n, blk), blk)
+    coords_t = coords01.T
+    g_t = g.astype(jnp.float32).T  # [D, N]
+    if n_pad != n:
+        coords_t = jnp.pad(coords_t, ((0, 0), (0, n_pad - n)))
+        g_t = jnp.pad(g_t, ((0, 0), (0, n_pad - n)))
+    d_pad = _round_up(out_dim, 8)
+    if d_pad != out_dim:
+        g_t = jnp.pad(g_t, ((0, d_pad - out_dim), (0, 0)))
+
+    kernel, small_res, large_res = _make_grad_dot_kernel(resolutions, feat, blk)
+    smalls, larges = packed
+    s_scale, s_offset = small_meta(small_res)
+    scale_arr = jnp.asarray(s_scale)
+    offset_arr = jnp.asarray(s_offset)
+
+    def body(coords_ref, g_ref, *refs):
+        *in_refs, out_ref = refs
+        kernel(coords_ref, g_ref, *in_refs, out_ref=out_ref)
+
+    grid = (n_pad // blk,)
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((3, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d_pad, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        full(scale_arr.shape),
+        full(offset_arr.shape),
+        *[full(s.shape) for s in smalls],
+        *[full(b.shape) for b in larges],
+    ]
+    out_t = pl.pallas_call(
+        body,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (8, blk), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        interpret=interpret,
+    )(coords_t, g_t, scale_arr, offset_arr, *smalls, *larges)
+    return out_t[:3, :n].T  # [N, 3]
+
+
+def _make_grad_dot_bwd_kernel(
+    resolutions: Tuple[int, ...], feat: int, blk: int, mode: str
+):
+    """VJP kernels for the grad-dot forward. The effective dfeat01 cotangent
+    is the rank-1 product ct[n, ax] * g[n, d]; the contraction structure is
+    _make_grad_bwd_kernel's with that substitution, plus mode "coords_g"
+    additionally emitting grad_g[n, d] = sum_ax ct[n, ax] * dfeat01[n, ax, d].
+    """
+    assert mode in ("tables", "coords_g")
+    small_res, large_res = _split_levels(resolutions)
+    n_small = len(small_res)
+    c_s = n_small * feat
+    out_dim = len(resolutions) * feat
+    d_pad = _round_up(out_dim, 8)
+    tables = mode == "tables"
+
+    def kernel(coords_ref, ct_ref, g_ref, scale_ref, offset_ref, small_x,
+               small_y, small_z, *refs):
+        n_large = len(large_res)
+        large_refs = refs[: n_large * 3]
+        out_refs = refs[n_large * 3 :]
+        if tables:
+            gsmall_refs = out_refs[:3]
+            glarge_refs = out_refs[3 : n_large * 3 + 3]
+
+            @pl.when(pl.program_id(0) == 0)
+            def _init():
+                for r in (*gsmall_refs, *glarge_refs):
+                    r[:, :] = jnp.zeros_like(r)
+        else:
+            gcoords_ref, gg_ref = out_refs
+            # rows beyond out_dim (d_pad padding) are never assigned below
+            gg_ref[:, :] = jnp.zeros_like(gg_ref)
+
+        smalls = (small_x, small_y, small_z)
+        grad_u = [None, None, None]
+        cts = [ct_ref[ax : ax + 1, :] for ax in range(3)]  # [1, BLK] each
+
+        if n_small:
+            hats, dhats, fs, ds = [], [], [], []
+            for ax in range(3):
+                u = coords_ref[ax : ax + 1, :]
+                z = scale_ref[:, :] * u - offset_ref[:, :]
+                hat = jnp.maximum(0.0, 1.0 - jnp.abs(z)).astype(jnp.bfloat16)
+                dhat = (
+                    -jnp.sign(z)
+                    * (jnp.abs(z) < 1.0).astype(jnp.float32)
+                    * scale_ref[:, :]
+                ).astype(jnp.bfloat16)
+                hats.append(hat)
+                dhats.append(dhat)
+                fs.append(
+                    jax.lax.dot_general(
+                        smalls[ax][:, :], hat, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+                ds.append(
+                    jax.lax.dot_general(
+                        smalls[ax][:, :], dhat, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            gw = g_ref[0:c_s, :]
+            for ax in range(3):
+                b, c = (ax + 1) % 3, (ax + 2) % 3
+                ct_a = cts[ax] * gw
+                ct_b = cts[b] * gw
+                ct_c = cts[c] * gw
+                G_hat = ct_b * ds[b] * fs[c] + ct_c * ds[c] * fs[b]
+                G_dhat = ct_a * fs[b] * fs[c]
+                if tables:
+                    gsmall_refs[ax][:, :] += jax.lax.dot_general(
+                        G_hat.astype(jnp.bfloat16), hats[ax],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) + jax.lax.dot_general(
+                        G_dhat.astype(jnp.bfloat16), dhats[ax],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    gu = jnp.sum(G_hat * ds[ax], axis=0, keepdims=True)
+                    grad_u[ax] = gu if grad_u[ax] is None else grad_u[ax] + gu
+            if not tables:
+                gg_small = (
+                    cts[0] * ds[0] * fs[1] * fs[2]
+                    + cts[1] * fs[0] * ds[1] * fs[2]
+                    + cts[2] * fs[0] * fs[1] * ds[2]
+                )  # [c_s, BLK]
+                gg_ref[0:c_s, :] = gg_small
+
+        for li, res in enumerate(large_res):
+            r1 = _num_blocks(res)
+            r1_pad = _round_up(r1, 8)
+            off = (n_small + li) * feat
+            onehots, xlocs, f_l, d_l = [], [], [], []
+            for ax in range(3):
+                u = coords_ref[ax : ax + 1, :]
+                blocks = large_refs[li * 3 + ax]
+                xl = u * (res - 1)
+                a = jnp.clip(jnp.floor(xl * (1.0 / TAP_BLOCK)), 0, r1 - 1)
+                x_loc = xl - a * TAP_BLOCK
+                sub = jax.lax.broadcasted_iota(jnp.int32, (r1_pad, blk), 0)
+                onehot = (sub.astype(jnp.float32) == a).astype(jnp.bfloat16)
+                t1 = jax.lax.dot_general(
+                    blocks[:, :], onehot, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                facc = dacc = None
+                for cc in range(TAP_BLOCK + 1):
+                    d = x_loc - cc
+                    w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+                    dw = (
+                        -jnp.sign(d)
+                        * (jnp.abs(d) < 1.0).astype(jnp.float32)
+                        * (res - 1)
+                    )
+                    t = t1[cc * feat : (cc + 1) * feat, :]
+                    facc = w * t if facc is None else facc + w * t
+                    dacc = dw * t if dacc is None else dacc + dw * t
+                onehots.append(onehot)
+                xlocs.append(x_loc)
+                f_l.append(facc)
+                d_l.append(dacc)
+            gw = g_ref[off : off + feat, :]
+            for ax in range(3):
+                b, c = (ax + 1) % 3, (ax + 2) % 3
+                ct_a = cts[ax] * gw
+                ct_b = cts[b] * gw
+                ct_c = cts[c] * gw
+                G_hat = ct_b * d_l[b] * f_l[c] + ct_c * d_l[c] * f_l[b]
+                G_dhat = ct_a * f_l[b] * f_l[c]
+                x_loc = xlocs[ax]
+                if tables:
+                    gt1_parts = []
+                    for cc in range(TAP_BLOCK + 1):
+                        d = x_loc - cc
+                        w = jnp.maximum(0.0, 1.0 - jnp.abs(d))
+                        dw = (
+                            -jnp.sign(d)
+                            * (jnp.abs(d) < 1.0).astype(jnp.float32)
+                            * (res - 1)
+                        )
+                        gt1_parts.append(w * G_hat + dw * G_dhat)
+                    gt1 = jnp.concatenate(gt1_parts, axis=0).astype(jnp.bfloat16)
+                    glarge_refs[li * 3 + ax][:, :] += jax.lax.dot_general(
+                        gt1, onehots[ax], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    gu = jnp.sum(G_hat * d_l[ax], axis=0, keepdims=True)
+                    grad_u[ax] = gu if grad_u[ax] is None else grad_u[ax] + gu
+            if not tables:
+                gg_ref[off : off + feat, :] = (
+                    cts[0] * d_l[0] * f_l[1] * f_l[2]
+                    + cts[1] * f_l[0] * d_l[1] * f_l[2]
+                    + cts[2] * f_l[0] * f_l[1] * d_l[2]
+                )
+
+        if not tables:
+            gcoords_ref[:, :] = jnp.concatenate(
+                [grad_u[0], grad_u[1], grad_u[2]], axis=0
+            )
+
+    return kernel, small_res, large_res
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 6))
+def fused_factor_grad_dot_bwd_tpu(
+    resolutions: Tuple[int, ...],
+    feat: int,
+    packed: Tuple,
+    coords01: jnp.ndarray,  # [N, 3] f32, pre-clipped
+    g: jnp.ndarray,  # [N, D] f32
+    ct: jnp.ndarray,  # [N, 3] f32 cotangent of s
+    interpret: bool = False,
+) -> Tuple[Tuple, jnp.ndarray, jnp.ndarray]:
+    """VJP of `fused_factor_grad_dot_tpu` wrt (packed tables, coords, g).
+
+    -> (grad_packed, grad_coords [N, 3], grad_g [N, D])."""
+    blk = 1024
+    n = coords01.shape[0]
+    out_dim = len(resolutions) * feat
+    d_pad = _round_up(out_dim, 8)
+    n_pad = _round_up(max(n, blk), blk)
+    coords_t = coords01.T
+    g_t = g.astype(jnp.float32).T
+    ct_t = ct.astype(jnp.float32).T  # [3, N]
+    if n_pad != n:
+        coords_t = jnp.pad(coords_t, ((0, 0), (0, n_pad - n)))
+        g_t = jnp.pad(g_t, ((0, 0), (0, n_pad - n)))
+        ct_t = jnp.pad(ct_t, ((0, 0), (0, n_pad - n)))
+    if d_pad != out_dim:
+        g_t = jnp.pad(g_t, ((0, d_pad - out_dim), (0, 0)))
+
+    smalls, larges = packed
+    k_tables, small_res, large_res = _make_grad_dot_bwd_kernel(
+        resolutions, feat, blk, "tables"
+    )
+    k_cg, _, _ = _make_grad_dot_bwd_kernel(resolutions, feat, blk, "coords_g")
+    s_scale, s_offset = small_meta(small_res)
+    scale_arr = jnp.asarray(s_scale)
+    offset_arr = jnp.asarray(s_offset)
+
+    grid = (n_pad // blk,)
+    full = lambda shape: pl.BlockSpec(  # noqa: E731
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((3, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((d_pad, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        full(scale_arr.shape),
+        full(offset_arr.shape),
+        *[full(s.shape) for s in smalls],
+        *[full(b.shape) for b in larges],
+    ]
+    args = (coords_t, ct_t, g_t, scale_arr, offset_arr, *smalls, *larges)
+
+    table_outs = pl.pallas_call(
+        k_tables,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            *[full(s.shape) for s in smalls],
+            *[full(b.shape) for b in larges],
+        ],
+        out_shape=[
+            *[jax.ShapeDtypeStruct(s.shape, jnp.float32) for s in smalls],
+            *[jax.ShapeDtypeStruct(b.shape, jnp.float32) for b in larges],
+        ],
+        interpret=interpret,
+    )(*args)
+    g_coords_t, gg_t = pl.pallas_call(
+        k_cg,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((3, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_pad, blk), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((d_pad, n_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    g_smalls = tuple(table_outs[:3])
+    g_larges = tuple(table_outs[3 : 3 + len(larges)])
+    return (
+        (g_smalls, g_larges),
+        g_coords_t[:, :n].T,
+        gg_t[:out_dim, :n].T,
+    )
+
+
+# ---------------------------------------------------------------------------
 # fused encode + density-MLP forward kernel
 # ---------------------------------------------------------------------------
 #

@@ -296,3 +296,82 @@ class TestFusedGradBackward:
             bool(jnp.isfinite(x).all())
             for x in jax.tree_util.tree_leaves(g)
         )
+
+
+@pytest.mark.slow
+class TestGradDotKernel:
+    """The CONTRACTED spatial-derivative path (grad_encode_dot): only the
+    density channel's gradient is consumed, so the kernel contracts
+    dfeat01 [N, 3, D] with the MLP VJP row g [N, D] in VMEM and emits
+    [N, 3] — forward and its three-way backward (tables, coords, g) must
+    match the XLA dfeat01 einsum expression."""
+
+    def _setup(self, monkeypatch):
+        from signerf_tpu.ops import fused_factor_pallas as ffp
+        from signerf_tpu.ops.factor_grid import FactorGridConfig
+
+        monkeypatch.setattr(ffp, "FORCE_INTERPRET", True)
+        cfg = FactorGridConfig(
+            num_levels=4, base_res=8, max_res=256, features_per_level=4
+        )
+        key = jax.random.PRNGKey(0)
+        lines = tuple(
+            tuple(
+                jax.random.normal(
+                    jax.random.fold_in(key, lvl * 3 + ax), (res, 4)
+                )
+                * 0.3
+                for ax in range(3)
+            )
+            for lvl, res in enumerate(cfg.resolutions)
+        )
+        x01 = jax.random.uniform(jax.random.PRNGKey(9), (64, 3))
+        g = jax.random.normal(jax.random.PRNGKey(11), (64, cfg.out_dim))
+        return cfg, lines, x01, g
+
+    def test_forward_matches_reference(self, monkeypatch):
+        from signerf_tpu.ops.factor_grid import (
+            dfeat01_reference,
+            grad_encode_dot,
+        )
+
+        cfg, lines, x01, g = self._setup(monkeypatch)
+        s = np.asarray(grad_encode_dot(cfg, lines, x01, g), np.float64)
+        ref = np.asarray(
+            jnp.einsum("njd,nd->nj", dfeat01_reference(cfg, lines, x01), g),
+            np.float64,
+        )
+        fro = np.linalg.norm(s - ref) / (np.linalg.norm(ref) + 1e-9)
+        assert fro < 0.02, fro
+
+    def test_backward_matches_xla_autodiff(self, monkeypatch):
+        from signerf_tpu.ops.factor_grid import (
+            dfeat01_reference,
+            grad_encode_dot,
+        )
+
+        cfg, lines, x01, g = self._setup(monkeypatch)
+
+        def loss_fused(l, x, gg):
+            return jnp.sum(jnp.sin(grad_encode_dot(cfg, l, x, gg)))
+
+        def loss_ref(l, x, gg):
+            return jnp.sum(
+                jnp.sin(
+                    jnp.einsum("njd,nd->nj", dfeat01_reference(cfg, l, x), gg)
+                )
+            )
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(lines, x01, g)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(lines, x01, g)
+        for lvl in range(len(cfg.resolutions)):
+            for ax in range(3):
+                a = np.asarray(gf[0][lvl][ax], np.float64)
+                b = np.asarray(gr[0][lvl][ax], np.float64)
+                fro = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-9)
+                assert fro < 0.05, (lvl, ax, fro)
+        for name, a_t, b_t in (("x01", gf[1], gr[1]), ("g", gf[2], gr[2])):
+            a = np.asarray(a_t, np.float64)
+            b = np.asarray(b_t, np.float64)
+            fro = np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-9)
+            assert fro < 0.05, (name, fro)

@@ -672,3 +672,150 @@ class TestMeshedFlashAttention:
         mesh = get_mesh(8, axis_names=("tensor",))
         pipe = SDXLInpaintPipeline.create(config=TINY_SDXL_CONFIG, mesh=mesh)
         assert pipe.config.unet.use_flash_attention
+
+
+class TestVAEStageSplit:
+    """The windowed last-cell fast path splits the VAE into conv-only and
+    attention stages (vae.py Encoder.down/mid_out, Decoder.mid/up); the
+    staged composition must be bit-exact vs the monolithic entry points."""
+
+    @pytest.fixture(scope="class")
+    def vae_io(self):
+        from signerf_tpu.diffusion.vae import TINY_VAE_CONFIG, AutoencoderKL
+
+        vae = AutoencoderKL(TINY_VAE_CONFIG)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (1, 32, 32, 3)) * 2 - 1
+        params = vae.init(jax.random.PRNGKey(0), x)
+        return vae, params, x
+
+    def test_encode_staged_exact(self, vae_io):
+        vae, p, x = vae_io
+        z = vae.apply(p, x, method="encode")
+        feats = vae.apply(p, x, method="encode_down")
+        z2 = vae.apply(p, feats, method="encode_from_features")
+        np.testing.assert_array_equal(np.asarray(z), np.asarray(z2))
+
+    def test_decode_staged_exact(self, vae_io):
+        vae, p, x = vae_io
+        z = vae.apply(p, x, method="encode")
+        img = vae.apply(p, z, method="decode")
+        feats = vae.apply(p, z, method="decode_mid")
+        img2 = vae.apply(p, feats, method="decode_up")
+        np.testing.assert_array_equal(np.asarray(img), np.asarray(img2))
+
+    def test_param_names_unchanged(self, vae_io):
+        # checkpoint/weight-conversion compatibility: the setup() rewrite
+        # must keep the exact nn.compact-era param tree.
+        _, p, _ = vae_io
+        enc = set(p["params"]["encoder"])
+        dec = set(p["params"]["decoder"])
+        assert {"conv_in", "mid_res_1", "mid_attn", "mid_res_2",
+                "conv_norm_out", "conv_out", "quant_conv",
+                "down_0_res_0", "down_0_downsample", "down_1_res_0"} <= enc
+        assert {"post_quant_conv", "conv_in", "mid_res_1", "mid_attn",
+                "mid_res_2", "up_0_res_0", "up_0_upsample",
+                "conv_norm_out", "conv_out"} <= dec
+
+
+class TestWindowedLastCell:
+    """Cross-view VAE cache (sdxl_pipeline.SheetEncodeCache): per-view
+    regeneration re-encodes only a padded window around the changed last
+    cell and decodes only the consumed window. Exact up to GroupNorm
+    statistics seen over the window instead of the full sheet (measured
+    ~1.5% encode / ~3.6% decode rel err with RANDOM weights — the worst
+    case; see the smoke numbers in the class tests below)."""
+
+    def test_windowed_encode_close_to_full(self):
+        from signerf_tpu.diffusion.vae import TINY_VAE_CONFIG, AutoencoderKL
+
+        vae = AutoencoderKL(TINY_VAE_CONFIG)
+        f, H, cell = 2, 192, 64
+        rng = np.random.default_rng(0)
+        base = jnp.asarray(rng.random((1, H, H, 3)), jnp.float32) * 2 - 1
+        newcell = jnp.asarray(rng.random((1, cell, cell, 3)), jnp.float32) * 2 - 1
+        sheet = base.at[:, -cell:, -cell:, :].set(newcell)
+        p = vae.init(jax.random.PRNGKey(0), base)
+
+        z_full = vae.apply(p, sheet, method="encode")
+        sp, enc_w = cell // f + 16, cell // f + 32
+        feats = vae.apply(p, base, method="encode_down")
+        wfeats = vae.apply(
+            p, sheet[:, -(enc_w * f):, -(enc_w * f):, :], method="encode_down"
+        )
+        feats = feats.at[:, -sp:, -sp:, :].set(wfeats[:, -sp:, -sp:, :])
+        z_win = vae.apply(p, feats, method="encode_from_features")
+        err = float(
+            jnp.linalg.norm(z_full - z_win) / jnp.linalg.norm(z_full)
+        )
+        assert err < 0.08, err  # GroupNorm-stat drift only
+
+    def test_pipeline_cache_returns_window_and_matches_cell(self):
+        pipe = SDXLInpaintPipeline.create(config=TINY_SDXL_CONFIG)
+        H, cell = 192, 64
+        rng = np.random.default_rng(0)
+        sheet = rng.random((H, H, 3), np.float32)
+        mask = np.zeros((H, H, 1), np.float32)
+        mask[-cell:, -cell:] = 1.0
+        cond = rng.random((H, H, 1), np.float32)
+        cache = pipe.prepare_sheet_cache(sheet, (cell, cell))
+        assert cache.window_lat == (64, 64, 48, 48, 48, 48)
+
+        full = pipe.img2img(
+            sheet, "p", mask=mask, control_image=cond, num_steps=2, seed=3
+        )
+        win = pipe.img2img(
+            sheet, "p", mask=mask, control_image=cond, num_steps=2, seed=3,
+            sheet_cache=cache,
+        )
+        assert full.shape == (H, H, 3)
+        assert win.shape == (96, 96, 3)  # dec window = (32+16) lat * f=2
+        fc, wc = full[-cell:, -cell:], win[-cell:, -cell:]
+        err = np.linalg.norm(fc - wc) / max(np.linalg.norm(fc), 1e-9)
+        # through a 2-step RANDOM-init denoiser (chaotic amplification of
+        # the GN drift); with calibrated weights this tightens
+        assert err < 0.15, err
+
+    def test_degenerate_window_is_exact(self):
+        # A sheet small enough that the window clamps to the full sheet:
+        # the cached path must then match the full path bit-exactly.
+        pipe = SDXLInpaintPipeline.create(config=TINY_SDXL_CONFIG)
+        H, cell = 64, 32
+        rng = np.random.default_rng(1)
+        sheet = rng.random((H, H, 3), np.float32)
+        mask = np.zeros((H, H, 1), np.float32)
+        mask[-cell:, -cell:] = 1.0
+        cache = pipe.prepare_sheet_cache(sheet, (cell, cell))
+        eh, ew, sp_h, sp_w, dh, dw = cache.window_lat
+        assert (eh, ew) == (32, 32)  # clamped to the full 32-lat sheet
+        # strength=0 -> zero denoise steps: output = decode(encode(x)),
+        # isolating the VAE plumbing from chaotic random-init-UNet
+        # amplification.
+        full = pipe.img2img(
+            sheet, "p", mask=mask, num_steps=2, seed=3, strength=0.0
+        )
+        win = pipe.img2img(
+            sheet, "p", mask=mask, num_steps=2, seed=3, strength=0.0,
+            sheet_cache=cache,
+        )
+        # enc window == full sheet -> identical down feats; splice covers
+        # the whole map -> encode identical; decode window == full. Only
+        # bf16 re-fusion noise remains (lax.map vs direct dispatch):
+        # measured max |diff| 0.023 on 2/12288 elements.
+        np.testing.assert_allclose(win, full, atol=4e-2, rtol=0)
+
+    def test_generator_cell_extraction_handles_window(self):
+        from signerf_tpu.editing.sheet import SheetLayout
+        from signerf_tpu.generator.datasetgenerator import (
+            DatasetGenerator,
+        )
+
+        lo = SheetLayout(rows=2, cols=2, cell_height=30, cell_width=30)
+        # 2x30 = 60 -> padded to 64: the cell sits 4 px in from the corner
+        assert (lo.height, lo.width) == (64, 64)
+        sheet = jnp.arange(64 * 64 * 3, dtype=jnp.float32).reshape(64, 64, 3)
+        window = sheet[-48:, -48:]
+        from signerf_tpu.editing.sheet import extract_last_cell
+
+        want = extract_last_cell(lo, sheet)
+        got = DatasetGenerator._cell_from_edited(None, lo, window)
+        np.testing.assert_array_equal(np.asarray(want), np.asarray(got))

@@ -136,3 +136,52 @@ class TestProductionMesh:
             mesh=mesh,
         )
         assert gen.diffuser.mesh is mesh
+
+
+class TestViewDPChunk:
+    """K=8 per-view DP generation chunk on the SHIPPED 1-D data mesh — the
+    unit the v5e-8 north-star projection multiplies by (VERDICT r4 #5):
+    one diffuse_batch of K spliced sheets, views sharded over "data"."""
+
+    def test_eight_view_chunk_on_data_mesh(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual CPU mesh")
+        from signerf_tpu.parallel import get_mesh
+
+        mesh = get_mesh(8)  # ("data",) — the `--mesh auto` default
+        dif = Diffuser(
+            DiffuserConfig(mode="jax_sdxl", num_inference_steps=2), mesh=mesh
+        )
+        dif._sdxl = SDXLInpaintPipeline.create(config=TINY_SDXL_CONFIG, mesh=mesh)
+        K = 8
+        imgs = np.full((K, 16, 16, 3), 0.5, np.float32)
+        msks = np.ones((K, 16, 16, 1), np.float32)
+        cond = np.full((K, 16, 16, 1), 0.25, np.float32)
+        with mesh:
+            out = dif.diffuse_batch(imgs, imgs, msks, cond)
+        assert out.shape == imgs.shape
+        assert np.isfinite(out).all()
+
+    def test_chunk_matches_unsharded_per_view(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual CPU mesh")
+        from signerf_tpu.parallel import get_mesh
+
+        mesh = get_mesh(8)
+        meshed = Diffuser(
+            DiffuserConfig(mode="jax_sdxl", num_inference_steps=2), mesh=mesh
+        )
+        meshed._sdxl = SDXLInpaintPipeline.create(
+            config=TINY_SDXL_CONFIG, mesh=mesh, seed=7
+        )
+        plain = Diffuser(DiffuserConfig(mode="jax_sdxl", num_inference_steps=2))
+        plain._sdxl = SDXLInpaintPipeline.create(config=TINY_SDXL_CONFIG, seed=7)
+        K = 8
+        rng = np.random.default_rng(0)
+        imgs = rng.random((K, 16, 16, 3)).astype(np.float32)
+        msks = np.ones((K, 16, 16, 1), np.float32)
+        with mesh:
+            out_m = meshed.diffuse_batch(imgs, imgs, msks, None)
+        out_p = plain.diffuse_batch(imgs, imgs, msks, None)
+        # same program modulo GSPMD partitioning -> numerically close
+        np.testing.assert_allclose(out_m, out_p, atol=5e-2, rtol=5e-2)

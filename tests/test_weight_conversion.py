@@ -2,6 +2,8 @@
 maps to a unique diffusers-style torch key, and a synthetic torch state
 dict round-trips through the converter bit-exactly."""
 
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -367,3 +369,136 @@ class TestLPIPSExportContract:
         )
         with pytest.raises(ValueError, match="conv order"):
             convert_state_dict(sd, "alex")
+
+
+class TestGoldenParity:
+    """Numerical jax-vs-diffusers parity, armed the moment real weights
+    land (VERDICT r4 #8 / SURVEY.md §7 hard part (b)).
+
+    `scripts/convert_sdxl_weights.py` writes, next to the converted
+    msgpack, a `golden_activations.json` of per-component activation
+    fingerprints computed by the DIFFUSERS torch models on the
+    deterministic `golden_inputs()`. This class re-runs the same inputs
+    through the flax modules with the converted weights and compares.
+    Skipped unless SIGNERF_SDXL_WEIGHTS (or /weights/sdxl) holds both
+    files — calibrated-weight correctness is then a switch-flip, not a
+    scramble."""
+
+    @pytest.fixture(scope="class")
+    def weights_dir(self):
+        import os
+
+        d = Path(os.environ.get("SIGNERF_SDXL_WEIGHTS", "/weights/sdxl"))
+        if not (d / "sdxl_params.msgpack").exists():
+            pytest.skip(f"no converted SDXL weights at {d}")
+        if not (d / "golden_activations.json").exists():
+            pytest.skip(f"no golden_activations.json at {d} — re-run "
+                        "scripts/convert_sdxl_weights.py")
+        return d
+
+    @pytest.fixture(scope="class")
+    def armed(self, weights_dir):
+        import json
+        import sys
+
+        sys.path.insert(0, str(Path(__file__).parent.parent / "scripts"))
+        from convert_sdxl_weights import golden_inputs
+
+        from signerf_tpu.diffusion.sdxl_pipeline import SDXLInpaintPipeline
+
+        pipe = SDXLInpaintPipeline.create(
+            weights_path=weights_dir, param_dtype=None
+        )
+        goldens = json.loads(
+            (weights_dir / "golden_activations.json").read_text()
+        )
+        return pipe, goldens, golden_inputs()
+
+    @staticmethod
+    def _check(arr, golden, tol, label):
+        a = np.asarray(arr, np.float64).reshape(-1)
+        assert list(np.asarray(arr).shape) == golden["shape"], label
+        got_slice = a[:: max(1, len(a) // 16)][:16]
+        want_slice = np.asarray(golden["slice"])
+        denom = max(float(np.abs(want_slice).mean()), 1e-6)
+        assert np.abs(got_slice - want_slice).mean() / denom < tol, (
+            label, got_slice[:4], want_slice[:4]
+        )
+        assert abs(a.std() - golden["std"]) / max(golden["std"], 1e-6) < tol, label
+
+    def test_unet_forward_matches(self, armed):
+        pipe, goldens, gi = armed
+        out = pipe.unet.apply(
+            {"params": pipe.params["unet"]},
+            jnp.asarray(gi["latent"]),
+            jnp.asarray([gi["timestep"]]),
+            jnp.asarray(gi["context"]),
+            jnp.asarray(gi["pooled"]),
+            jnp.asarray(gi["time_ids"]),
+        )
+        # jax NHWC -> torch NCHW for fingerprint order parity
+        self._check(
+            np.moveaxis(np.asarray(out, np.float32), -1, 1),
+            goldens["unet"], 0.05, "unet",
+        )
+
+    def test_controlnet_matches(self, armed):
+        pipe, goldens, gi = armed
+        down, mid = pipe.controlnet.apply(
+            {"params": pipe.params["controlnet"]},
+            jnp.asarray(gi["latent"]),
+            jnp.asarray(gi["cond_image"]),
+            jnp.asarray([gi["timestep"]]),
+            jnp.asarray(gi["context"]),
+            jnp.asarray(gi["pooled"]),
+            jnp.asarray(gi["time_ids"]),
+        )
+        self._check(
+            np.moveaxis(np.asarray(mid, np.float32), -1, 1),
+            goldens["controlnet_mid"], 0.05, "controlnet_mid",
+        )
+        self._check(
+            np.moveaxis(np.asarray(down[-1], np.float32), -1, 1),
+            goldens["controlnet_down_last"], 0.05, "controlnet_down_last",
+        )
+
+    def test_vae_roundtrip_matches(self, armed):
+        pipe, goldens, gi = armed
+        z = pipe.vae.apply(
+            {"params": pipe.params["vae"]},
+            jnp.asarray(gi["image"]),
+            method="encode",
+        )
+        self._check(
+            np.moveaxis(np.asarray(z, np.float32), -1, 1),
+            goldens["vae_encode"], 0.05, "vae_encode",
+        )
+        img = pipe.vae.apply(
+            {"params": pipe.params["vae"]}, z, method="decode"
+        )
+        self._check(
+            np.moveaxis(np.asarray(img, np.float32), -1, 1),
+            goldens["vae_decode"], 0.05, "vae_decode",
+        )
+
+    def test_clip_towers_match(self, armed):
+        pipe, goldens, gi = armed
+        ids = jnp.asarray(gi["token_ids"], jnp.int32)
+        _, pen_l, _ = pipe.clip_l.apply(
+            {"params": pipe.params["clip_l"]}, ids
+        )
+        self._check(
+            np.asarray(pen_l, np.float32),
+            goldens["clip_l_penultimate"], 0.05, "clip_l",
+        )
+        _, pen_g, _, proj_g = pipe.clip_g.apply(
+            {"params": pipe.params["clip_g"]}, ids
+        )
+        self._check(
+            np.asarray(pen_g, np.float32),
+            goldens["clip_g_penultimate"], 0.05, "clip_g",
+        )
+        self._check(
+            np.asarray(proj_g, np.float32),
+            goldens["clip_g_projected"], 0.05, "clip_g_proj",
+        )
