@@ -325,8 +325,8 @@ class TestGradDotKernel:
             )
             for lvl, res in enumerate(cfg.resolutions)
         )
-        x01 = jax.random.uniform(jax.random.PRNGKey(9), (64, 3))
-        g = jax.random.normal(jax.random.PRNGKey(11), (64, cfg.out_dim))
+        x01 = jax.random.uniform(jax.random.PRNGKey(9), (256, 3))
+        g = jax.random.normal(jax.random.PRNGKey(11), (256, cfg.out_dim))
         return cfg, lines, x01, g
 
     def test_forward_matches_reference(self, monkeypatch):
@@ -351,15 +351,21 @@ class TestGradDotKernel:
         )
 
         cfg, lines, x01, g = self._setup(monkeypatch)
+        # Fixed linear cotangent: a nonlinear functional (e.g. sin) would
+        # evaluate its derivative at the two implementations' slightly
+        # different bf16 forward values, comparing gradients of two
+        # different functions (measured: chaotic-cos divergence up to 14%
+        # while the kernel itself is BIT-identical to the dense bwd kernel
+        # under rank-1 cotangent expansion).
+        ct = jax.random.normal(jax.random.PRNGKey(12), (x01.shape[0], 3))
 
         def loss_fused(l, x, gg):
-            return jnp.sum(jnp.sin(grad_encode_dot(cfg, l, x, gg)))
+            return jnp.sum(grad_encode_dot(cfg, l, x, gg) * ct)
 
         def loss_ref(l, x, gg):
             return jnp.sum(
-                jnp.sin(
-                    jnp.einsum("njd,nd->nj", dfeat01_reference(cfg, l, x), gg)
-                )
+                jnp.einsum("njd,nd->nj", dfeat01_reference(cfg, l, x), gg)
+                * ct
             )
 
         gf = jax.grad(loss_fused, argnums=(0, 1, 2))(lines, x01, g)
