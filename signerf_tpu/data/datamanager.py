@@ -120,14 +120,20 @@ class SIGNeRFDataManagerConfig:
 
 def auto_micro_batches(num_rays: int, patch_size: int, use_mask: bool) -> int:
     """Smallest gradient-accumulation split that (a) divides num_rays,
-    (b) keeps micro-batches near the measured 8192-ray HBM sweet spot
-    (v5e: 16384 monolithic = 71k rays/s vs 317k at 4096 — XLA spills),
+    (b) keeps micro-batches near the measured 4096-ray HBM sweet spot,
     and (c) holds whole patches when patch sampling is active (LPIPS is
     patch-local). Falls back to monolithic when no such split exists
     within a sane bound — a prime ray count must not degenerate into
-    thousands of single-ray micro-batches."""
+    thousands of single-ray micro-batches.
+
+    Sweet-spot history: 8192 was measured in round 2 when the backward
+    retained [N, 3, D] f32 normals intermediates (16384 monolithic = 71k
+    rays/s vs 317k at 4096 — XLA spills). With the round-5 grad-dot
+    kernel those transients are gone and the signerf regime (16384 rays,
+    patch 32) measures micro4 (4096-ray micros) fastest: 70.5 ms vs 74.8
+    (micro2) / 72.7 (monolithic) per step on v5e."""
     grain = patch_size * patch_size if (patch_size > 1 and not use_mask) else 1
-    target = max(1, -(-num_rays // 8192))
+    target = max(1, -(-num_rays // 4096))
     for m in range(target, 65):
         if num_rays % m == 0 and (num_rays // m) % grain == 0:
             return m

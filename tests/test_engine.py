@@ -431,16 +431,17 @@ class TestAutoMicroBatches:
     def test_patch_constraint_respected(self):
         from signerf_tpu.data.datamanager import auto_micro_batches
 
-        # 9216 rays = 9 patches of 32x32: ceil(9216/8192)=2 does not hold
-        # whole patches (4608 % 1024 != 0) -> must pick 3 (3072 = 3 patches)
+        # 9216 rays = 9 patches of 32x32: ceil(9216/4096)=3 holds whole
+        # patches (3072 = 3 patches)
         m = auto_micro_batches(9216, 32, False)
         assert m == 3
         assert (9216 // m) % (32 * 32) == 0
 
-        # 16384 with 32px patches: 2 splits of 8192 = 8 patches each
-        assert auto_micro_batches(16384, 32, False) == 2
+        # 16384 with 32px patches: 4 splits of 4096 = 4 patches each
+        # (the round-5 measured sweet spot; see auto_micro_batches)
+        assert auto_micro_batches(16384, 32, False) == 4
         # masks force plain sampling -> no patch constraint
-        assert auto_micro_batches(16384, 32, True) == 2
+        assert auto_micro_batches(16384, 32, True) == 4
         # small batches stay monolithic
         assert auto_micro_batches(4096, 1, False) == 1
 
@@ -448,4 +449,4 @@ class TestAutoMicroBatches:
         from signerf_tpu.data.datamanager import auto_micro_batches
 
         assert auto_micro_batches(8209, 1, False) == 1  # prime
-        assert auto_micro_batches(65536, 1, False) == 8
+        assert auto_micro_batches(65536, 1, False) == 16
