@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -54,7 +55,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SMALL_MAX_RES = 128  # dense-hat levels
+# Levels at or below this resolution use the dense-hat path (full [res]-row
+# hat built per block); above it, the 9-tap block-gather path. Round-5 A/B
+# on v5e (see commit message): the dense hat *construction* is VPU-bound at
+# ~res rows x 1024 lanes x 3 axes per block, so moving 76/128-res levels to
+# the tap path cut the proposal0 fused density time. Env-overridable for
+# tuning sweeps.
+SMALL_MAX_RES = int(os.environ.get("SIGNERF_SMALL_MAX_RES", "64"))
 TAP_BLOCK = 8  # coarse block width for large levels (9 taps incl. overlap)
 
 # Test hook: force pallas interpret mode (runs the kernel as traced jax ops,
