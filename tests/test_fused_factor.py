@@ -111,7 +111,8 @@ def test_pack_shapes():
     cfg = CONFIGS["final"]
     lines = make_lines(cfg)
     smalls, larges = ffp.pack_tables(cfg.resolutions, lines)
-    assert len(smalls) == 3 and len(larges) == 4 * 3
+    n_large = sum(1 for r in cfg.resolutions if r > ffp.SMALL_MAX_RES)
+    assert len(smalls) == 3 and len(larges) == n_large * 3
     n_small = sum(1 for r in cfg.resolutions if r <= ffp.SMALL_MAX_RES)
     assert smalls[0].shape[0] == n_small * cfg.features_per_level
     assert smalls[0].shape[1] % 8 == 0  # contraction dims need 8-row tiles
