@@ -592,12 +592,16 @@ class TestMeshedFlashAttention:
     partitioning, gating and fallback, which is everything that differs
     from the (TPU-bench-verified) unmeshed kernel path."""
 
-    def _attn_io(self, heads, batch, seq=32):
+    def _attn_io(self, heads, batch, seq=32, head_dim=8):
         from signerf_tpu.diffusion.unet import CrossAttention
 
-        attn = CrossAttention(num_heads=heads, head_dim=8, dtype=jnp.float32)
+        attn = CrossAttention(
+            num_heads=heads, head_dim=head_dim, dtype=jnp.float32
+        )
         rng = jax.random.PRNGKey(0)
-        x = jax.random.normal(jax.random.PRNGKey(1), (batch, seq, heads * 8))
+        x = jax.random.normal(
+            jax.random.PRNGKey(1), (batch, seq, heads * head_dim)
+        )
         params = attn.init(rng, x)
         return attn, params, x
 
@@ -628,8 +632,10 @@ class TestMeshedFlashAttention:
         without an entry keep the einsum path."""
         from signerf_tpu.diffusion import unet as unet_mod
 
-        attn, params, x = self._attn_io(heads=4, batch=1, seq=100)  # pads to 128
-        ref = attn.apply(params, x)
+        # head_dim=64: table tilings were measured at d=64 only; the gate
+        # requires it (ADVICE r4 — exotic head dims must not inherit them).
+        attn, params, x = self._attn_io(heads=4, batch=1, seq=100, head_dim=64)
+        ref = attn.apply(params, x)  # pads to 128
         calls = []
         real = unet_mod._flash_self_attention
         monkeypatch.setattr(unet_mod, "FLASH_REFERENCE_IMPL", True)
@@ -647,6 +653,12 @@ class TestMeshedFlashAttention:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
         )
+
+        # a non-64 head_dim must NOT inherit the d=64-measured tiling
+        attn8, params8, x8 = self._attn_io(heads=4, batch=1, seq=100)
+        calls.clear()
+        attn8.apply(params8, x8)
+        assert not calls, "head_dim!=64 must stay einsum on a table hit"
 
     def test_indivisible_heads_fall_back(self, monkeypatch):
         if len(jax.devices()) < 8:
