@@ -56,10 +56,16 @@ def main():
 
     pipe = SDXLInpaintPipeline.create()
     rng = np.random.default_rng(0)
-    img = rng.random((SHEET, SHEET, 3), np.float32)
-    mask = np.zeros((SHEET, SHEET, 1), np.float32)
-    mask[-512:, -512:] = 1.0  # last cell = the spliced view
-    cond = rng.random((SHEET, SHEET, 1), np.float32)
+    # Device-resident inputs: the production per-view loop splices sheets ON
+    # DEVICE (generator/datasetgenerator.py), so host->device transfer of
+    # the ~47 MB sheet+mask+cond per call is NOT part of the real regime —
+    # over the axon tunnel it alone measured ~1 s/call and polluted the
+    # round-4 "vae_prompt_blend_overhead" number.
+    img = jnp.asarray(rng.random((SHEET, SHEET, 3), np.float32))
+    mask_np = np.zeros((SHEET, SHEET, 1), np.float32)
+    mask_np[-512:, -512:] = 1.0  # last cell = the spliced view
+    mask = jnp.asarray(mask_np)
+    cond = jnp.asarray(rng.random((SHEET, SHEET, 1), np.float32))
 
     def run_inpaint(steps: int) -> float:
         def once(seed):

@@ -274,14 +274,25 @@ class SDXLInpaintPipeline:
             return cached
         ids = np.stack([self.tokenizer(negative_prompt), self.tokenizer(prompt)])
         ids = jnp.asarray(ids)
-        _, pen_l, _ = self.clip_l.apply({"params": self.params["clip_l"]}, ids)
-        _, pen_g, _, proj_g = self.clip_g.apply(
-            {"params": self.params["clip_g"]}, ids
+        if not hasattr(self, "_jit_encode_prompt"):
+            # One jitted program for both towers: eager dispatch of the two
+            # 32-layer CLIP stacks costs ~9 s of per-op RTT over the axon
+            # tunnel (measured, DIFFUSION_BREAKDOWN prompt_encode_uncached)
+            # vs milliseconds compiled.
+            def _encode(pl_, pg_, ids_):
+                _, pen_l, _ = self.clip_l.apply({"params": pl_}, ids_)
+                _, pen_g, _, proj_g = self.clip_g.apply({"params": pg_}, ids_)
+                context = jnp.concatenate(
+                    [pen_l.astype(jnp.float32), pen_g.astype(jnp.float32)],
+                    axis=-1,
+                )
+                return context, proj_g.astype(jnp.float32)
+
+            self._jit_encode_prompt = jax.jit(_encode)
+        context, proj_g = self._jit_encode_prompt(
+            self.params["clip_l"], self.params["clip_g"], ids
         )
-        context = jnp.concatenate(
-            [pen_l.astype(jnp.float32), pen_g.astype(jnp.float32)], axis=-1
-        )
-        out = (context, proj_g.astype(jnp.float32))
+        out = (context, proj_g)
         if len(self._prompt_cache) > 32:
             self._prompt_cache.clear()
         self._prompt_cache[(prompt, negative_prompt)] = out
