@@ -96,7 +96,7 @@ def time_einsum(q, k, v, sm_scale):
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         return jnp.sum(out).astype(jnp.float32) * 1e-9
 
-    return scan_time_stats(f)
+    return scan_time_stats(f, K1=4, K2=32, max_K2=64)
 
 
 def time_flash(q, k, v, sm_scale, block_q=None, block_kv=None):
@@ -131,7 +131,11 @@ def time_flash(q, k, v, sm_scale, block_q=None, block_kv=None):
         out = flash_attention(qq, k, v, sm_scale=sm_scale, **kwargs)
         return jnp.sum(out).astype(jnp.float32) * 1e-9
 
-    return scan_time_stats(f)
+    # Bounded K growth: every new scan length is a fresh compile over the
+    # tunnel, and the unbounded adaptive ladder made a full sweep take
+    # hours. One doubling (32 -> 64) resolves everything >= ~0.3 ms;
+    # cheaper candidates come back NaN and are honestly skipped.
+    return scan_time_stats(f, K1=4, K2=32, max_K2=64)
 
 
 def main():
