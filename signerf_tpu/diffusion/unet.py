@@ -179,22 +179,24 @@ FLASH_REFERENCE_IMPL = False
 FLASH_BLOCK_SIZES: "tuple[int, int] | None" = None
 
 # Tuned (block_q, block_kv) per padded sequence length, measured on 1x v5e
-# by scripts/tune_flash_attention.py (ATTN_SWEEP.json at the repo root).
-# Only shapes where tuned flash BEAT the einsum path are listed — a table
-# hit therefore also *enables* flash below the memory threshold (the
-# CrossAttention gate): with stock blocks flash was the slow-but-OOM-safe
-# fallback; with these tilings it is the fast path outright:
-#   S=9216 h10 B1 (3x3 1536px sheet, stage 2): einsum 16.8 ms -> 2.60 ms
-#   S=2304 h20 B1 (sheet, stage 3):            einsum 1.08 ms -> 0.24 ms
-#   S=4096 h10 B2 (per-view 1024px, stage 2):  einsum 2.98 ms -> 0.92 ms
-#   S=1024 h20 B2 (per-view, stage 3): sub-ms both ways, below the
+# by scripts/tune_flash_attention.py (ATTN_SWEEP.json /
+# ATTN_SWEEP_PERVIEW.json at the repo root — round-5 regeneration with the
+# noise-guarded timer; every "best" is positive and clears 2x the sweep's
+# recorded noise floor). Only shapes where tuned flash BEAT the einsum
+# path are listed — a table hit therefore also *enables* flash below the
+# memory threshold (the CrossAttention gate): with stock blocks flash was
+# the slow-but-OOM-safe fallback; with these tilings it is the fast path:
+#   S=9216 h10 B1 (3x3 1536px sheet, stage 2): best 3.06 ms = 0.22x einsum
+#   S=2304 h20 B1 (sheet, stage 3):            best 0.42 ms = 0.32x einsum
+#   S=4096 h10 (per-view 1024px, stage 2):     see ATTN_SWEEP_PERVIEW.json
+#   S=1024 h20 (per-view, stage 3): sub-ms both ways, below the
 #     scan-differencing noise floor over the tunnel — stays einsum.
 # Keyed by padded S; the value is the winner at the batch the production
-# regime dispatches (sheet = CFG-sequential B1, per-view = CFG-batched B2).
+# regime dispatches (sheet = CFG-sequential B1).
 FLASH_BLOCK_TABLE: "dict[int, tuple[int, int]]" = {
-    9216: (512, 2304),
-    2304: (384, 768),
-    4096: (512, 512),
+    9216: (512, 1024),
+    2304: (768, 2304),
+    4096: (1024, 1024),
 }
 
 
