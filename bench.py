@@ -44,7 +44,11 @@ def main():
 
     chunk = 8192  # render chunk; XLA peak-memory-safe on 16GB v5e (the
     # reference uses 32768 on CUDA w/ tcnn streaming, signerf_config.py:32)
-    num_chunks = 48
+    # 96 chunks per dispatch: the axon tunnel's per-dispatch RTT (~100-200
+    # ms) is a fixed cost amortized over the whole lax.map; at 48 chunks it
+    # still added ~2-4 ms/chunk to the measured time (single-chunk scan
+    # differencing reads 6.5-6.8 ms/chunk vs ~8.5 through this path).
+    num_chunks = 96
     total_rays = chunk * num_chunks
 
     key = jax.random.PRNGKey(1)
