@@ -44,11 +44,12 @@ def main():
 
     chunk = 8192  # render chunk; XLA peak-memory-safe on 16GB v5e (the
     # reference uses 32768 on CUDA w/ tcnn streaming, signerf_config.py:32)
-    # 96 chunks per dispatch: the axon tunnel's per-dispatch RTT (~100-200
-    # ms) is a fixed cost amortized over the whole lax.map; at 48 chunks it
-    # still added ~2-4 ms/chunk to the measured time (single-chunk scan
-    # differencing reads 6.5-6.8 ms/chunk vs ~8.5 through this path).
-    num_chunks = 96
+    # 192 chunks per dispatch: the axon tunnel's per-dispatch RTT (~100-200
+    # ms) is a fixed cost amortized over the whole lax.map — at 48 chunks it
+    # added ~2-4 ms/chunk to the measured time (48: 958k, 96: 1.036M,
+    # 192: 1.070M rays/s; single-chunk scan differencing reads 6.5-6.8
+    # ms/chunk = the 1.2M asymptote in RENDER_BREAKDOWN.json).
+    num_chunks = 192
     total_rays = chunk * num_chunks
 
     key = jax.random.PRNGKey(1)
